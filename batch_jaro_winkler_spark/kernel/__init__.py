@@ -1,0 +1,8 @@
+from batch_jaro_winkler_spark.kernel.bjw import (
+    CandidateModel,
+    build_model,
+    score,
+    score_strings,
+)
+
+__all__ = ["CandidateModel", "build_model", "score", "score_strings"]

@@ -1,0 +1,399 @@
+"""Batched Jaro / Jaro-Winkler scoring kernel (numpy, columnar).
+
+A from-scratch, vectorized reimplementation of the *semantics* of the C99
+reference ``dbousque/batch_jaro_winkler`` (see SURVEY.md §2): one *input*
+string is scored against a pre-compiled batch of *candidate* strings that
+share a single character-position inverted index, with per-candidate
+``min_score`` pruning, a global ``min_score`` override, the Winkler prefix
+bonus, and deterministic ``n_best`` top-k.
+
+Semantics anchored to the reference (file:line cites into /root/reference):
+
+* match window  = ``max(|input|,|cand|)//2``, then ``0 if <=1 else -1``
+  (``lib/batch_jaro_winkler_runtime.h:311-312``);
+* greedy first-unmatched-occurrence-in-window matching with a per
+  (char,candidate) resume cursor (``runtime.h:323-371``);
+* transpositions from the two flag sequences, halved (``runtime.h:373-398,446``);
+* float32 score ``(m/|i| + m/|c| + (m-t)/m)/3`` (``runtime.h:448-452``);
+* Winkler bonus iff ``weight >= 0 and score >= threshold``; prefix capped at
+  ``min(4, |i|, |c|)``; ``score += l*w*(1-score)`` (``runtime.h:454-459``);
+* zero-match candidates are emitted with score 0.0 iff their effective
+  min_score <= 0 (``runtime.h:429-438``);
+* global ``min_score`` (when set) *overrides* per-candidate min_scores;
+  when unset, per-candidate min_scores apply (``runtime.h:272-274,422-424``;
+  ``lib/batch_jaro_winkler.c:751``);
+* required-match-count pruning derived from min_score
+  (``runtime.h:288-309``, explained in reference README.md:142-160);
+* ``n_best``: score-desc top-k.  The reference's adaptive min_score ladder
+  (``lib/batch_jaro_winkler.c:788-816``) is a single-node optimization with
+  identical observable results; we use a single pass + partial sort.  Ties
+  are nondeterministic in the reference (unstable qsort); we define
+  (score desc, candidate index asc).
+
+Deliberate divergences (documented, observable-behavior preserving):
+
+* no dictionary compression of the alphabet (``c:529-610``) — raw uint32
+  code points index directly; compression is a cache optimization in C,
+  not a semantic;
+* no input-length clamp at 256/65536 (``c:746-750``) — unreachable from the
+  reference's own high-level API for UTF-32 data; callers cap document
+  length via ``max_len`` instead;
+* results keep original candidate order (the reference re-sorts candidates
+  by (length, lex) at compile, ``c:170-171``; its own tests re-sort results,
+  so the order is not part of the contract).
+
+Everything here is pure numpy on one Arrow/pandas batch: this module is
+what runs inside ``applyInPandas`` / ``mapInArrow`` on executors.  It never
+touches Spark.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+__all__ = [
+    "CandidateModel",
+    "build_model",
+    "score",
+    "score_strings",
+]
+
+
+def _encode_utf32(strings) -> tuple[np.ndarray, np.ndarray]:
+    """Encode a sequence of python strings into (codes, offsets).
+
+    ``codes``  — concatenated uint32 code points (1 char = 1 code point,
+    matching the reference Python binding's UTF-32-LE convention,
+    ``python/cbatch_jaro_winkler.pyx:57,161``).
+    ``offsets`` — int64 prefix offsets, len = n+1.
+    """
+    n = len(strings)
+    lengths = np.fromiter((len(s) for s in strings), dtype=np.int64, count=n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    total = int(offsets[-1])
+    codes = np.empty(total, dtype=np.uint32)
+    if total:
+        buf = "".join(strings).encode("utf-32-le")
+        codes[:] = np.frombuffer(buf, dtype="<u4")
+    return codes, offsets
+
+
+@dataclass
+class CandidateModel:
+    """The 'exportable model' analog: an immutable, pickle-able columnar
+    inverted character-position index over a candidate batch
+    (reference: ``bjw_build_exportable_model``, ``lib/batch_jaro_winkler.c:513-627``).
+
+    Layout (all numpy arrays):
+      codes/offsets      — concatenated candidate code points + prefix offsets
+      lengths            — per-candidate length in characters
+      group_char         — distinct (char, cand) group keys, sorted by (char, cand)
+      group_cand
+      group_start/end    — slice into pos_flat per group
+      pos_flat           — occurrence positions, ascending within each group
+      first4             — (n,4) first-4 code points, 0-padded (winkler prefix)
+      min_scores         — float32 per-candidate min_score, or None
+    """
+
+    codes: np.ndarray
+    offsets: np.ndarray
+    lengths: np.ndarray
+    group_char: np.ndarray
+    group_cand: np.ndarray
+    group_start: np.ndarray
+    group_end: np.ndarray
+    pos_flat: np.ndarray
+    first4: np.ndarray
+    min_scores: np.ndarray | None
+
+    @property
+    def nb_candidates(self) -> int:
+        return len(self.lengths)
+
+
+def build_model(candidates, min_scores=None) -> CandidateModel:
+    """Compile a candidate batch into a shared inverted index.
+
+    ``candidates`` — sequence of str.
+    ``min_scores`` — optional sequence of float, all-or-none like the
+    reference (``python/cbatch_jaro_winkler.pyx:29-31``).
+    """
+    candidates = list(candidates)
+    if min_scores is not None:
+        min_scores = np.asarray(min_scores, dtype=np.float32)
+        if len(min_scores) != len(candidates):
+            raise ValueError("min_scores must have one entry per candidate")
+        if len(min_scores) and (min_scores.min() < 0.0 or min_scores.max() > 1.0):
+            raise ValueError("min_score must be >= 0.0 and <= 1.0")
+    codes, offsets = _encode_utf32(candidates)
+    n = len(candidates)
+    lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
+
+    total = len(codes)
+    if total:
+        # candidate id and in-candidate position for every character
+        cand_of = np.repeat(np.arange(n, dtype=np.int64), lengths)
+        pos_of = np.arange(total, dtype=np.int64) - np.repeat(offsets[:-1], lengths)
+        # sort occurrences by (char, cand, pos) — the columnar analog of the
+        # reference's packed per-(char,cand) occurrence stream (c:373-394)
+        order = np.lexsort((pos_of, cand_of, codes))
+        s_char = codes[order]
+        s_cand = cand_of[order]
+        s_pos = pos_of[order]
+        # group boundaries where (char, cand) changes
+        newgrp = np.empty(total, dtype=bool)
+        newgrp[0] = True
+        np.not_equal(s_char[1:], s_char[:-1], out=newgrp[1:])
+        newgrp[1:] |= s_cand[1:] != s_cand[:-1]
+        group_start = np.flatnonzero(newgrp).astype(np.int64)
+        group_end = np.append(group_start[1:], total).astype(np.int64)
+        group_char = s_char[group_start]
+        group_cand = s_cand[group_start]
+        pos_flat = s_pos
+    else:
+        group_char = np.empty(0, dtype=np.uint32)
+        group_cand = np.empty(0, dtype=np.int64)
+        group_start = np.empty(0, dtype=np.int64)
+        group_end = np.empty(0, dtype=np.int64)
+        pos_flat = np.empty(0, dtype=np.int64)
+
+    first4 = np.zeros((n, 4), dtype=np.uint32)
+    for k in range(4):
+        has = lengths > k
+        first4[has, k] = codes[offsets[:-1][has] + k]
+
+    return CandidateModel(
+        codes=codes,
+        offsets=offsets,
+        lengths=lengths,
+        group_char=group_char,
+        group_cand=group_cand,
+        group_start=group_start,
+        group_end=group_end,
+        pos_flat=pos_flat,
+        first4=first4,
+        min_scores=min_scores,
+    )
+
+
+def _required_matches(
+    cand_len: np.ndarray, input_len: int, eff_min: np.ndarray, weight: float
+) -> np.ndarray:
+    """Per-candidate minimum match count implied by min_score.
+
+    Closed forms from the reference (``runtime.h:288-309``): solving the Jaro
+    formula for m with t=0 (best case); the Winkler variant assumes all 4
+    prefix characters match (maximum possible bonus), so the bound is
+    conservative — it never prunes a candidate that could pass.
+    Computed in float32 to mirror the reference's arithmetic.
+    """
+    L = cand_len.astype(np.float32)
+    i = np.float32(input_len)
+    s = eff_min.astype(np.float32)
+    if weight < 0.0:
+        with np.errstate(divide="ignore", invalid="ignore"):
+            req = (np.float32(3.0) * s * L * i - L * i) / (L + i)
+        req = np.where(L + i == 0, np.float32(0.0), req)
+    else:
+        w = np.float32(weight)
+        bottom = -(np.float32(4.0) * L * w) - (np.float32(4.0) * i * w) + L + i
+        with np.errstate(divide="ignore", invalid="ignore"):
+            req = (
+                np.float32(3.0) * s * L * i
+                - np.float32(8.0) * w * L * i
+                - L * i
+            ) / bottom
+        req = np.where(bottom == 0, np.maximum(L, i) + np.float32(1.0), req)
+    req = np.maximum(req, np.float32(0.0))
+    out = np.ceil(req).astype(np.int64)
+    # empty candidates: required 0 (runtime.h:278-287)
+    out[cand_len == 0] = 0
+    return out
+
+
+def score(
+    model: CandidateModel,
+    input_str: str,
+    *,
+    min_score: float | None = None,
+    weight: float | None = 0.1,
+    threshold: float | None = 0.7,
+    n_best: int | None = None,
+    dtype=np.float32,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Score ``input_str`` against every candidate in ``model``.
+
+    Returns ``(candidate_indices, scores)`` — only candidates surviving the
+    min_score / n_best filters, in original candidate order (or score-desc
+    order when ``n_best`` is set).  ``dtype`` selects the arithmetic width:
+    float32 matches the C reference bit-for-bit at its own 1e-4 tolerance;
+    float64 matches external double-precision oracles (e.g. DuckDB's
+    ``jaro_winkler_similarity``).
+
+    Argument validation mirrors ``python/cbatch_jaro_winkler.pyx:134-152``.
+    """
+    if min_score is not None and not 0.0 <= min_score <= 1.0:
+        raise ValueError("min_score must be >= 0.0 and <= 1.0")
+    if weight is not None and not 0.0 <= weight <= 0.25:
+        raise ValueError("weight must be >= 0.0 and <= 0.25")
+    if threshold is not None and not 0.0 <= threshold <= 1.0:
+        raise ValueError("threshold must be >= 0.0 and <= 1.0")
+    if n_best is not None and n_best < 0:
+        raise ValueError("n_best_results must be >= 0")
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype))
+    if n_best == 0:  # binding-level: 0 means "no results" (pyx:143-144)
+        return empty
+    n = model.nb_candidates
+    if n == 0:
+        return empty
+
+    w = -1.0 if weight is None else float(weight)
+    thr = -1.0 if threshold is None else float(threshold)
+
+    # --- effective per-candidate min_score (O14 precedence, c:751) ---
+    if min_score is None:
+        if model.min_scores is not None:
+            eff_min = model.min_scores.astype(dtype)
+        else:
+            eff_min = np.zeros(n, dtype=dtype)
+    else:
+        eff_min = np.full(n, dtype(min_score))
+
+    in_codes_all, _ = _encode_utf32([input_str])
+    input_len = len(in_codes_all)
+    lengths = model.lengths
+
+    # --- pruning bounds (O9) ---
+    required = _required_matches(lengths, input_len, eff_min, w)
+    search_range = np.maximum(lengths, input_len) // 2
+    search_range = np.where(search_range <= 1, 0, search_range - 1)
+
+    # --- match finding (O10): loop over input chars, vectorized over the
+    # char's (char,candidate) occurrence groups ---
+    m = np.zeros(n, dtype=np.int64)
+    match_cand: list[np.ndarray] = []
+    match_char: list[np.ndarray] = []
+    match_pos: list[np.ndarray] = []
+    if input_len and len(model.group_char):
+        cur = model.group_start.copy()
+        gchar = model.group_char
+        for i in range(input_len):
+            ch = in_codes_all[i]
+            g0 = np.searchsorted(gchar, ch, side="left")
+            g1 = np.searchsorted(gchar, ch, side="right")
+            if g0 == g1:
+                continue
+            g = np.arange(g0, g1)
+            cands = model.group_cand[g0:g1]
+            # early abandon (runtime.h:348-349)
+            alive = m[cands] + (input_len - i) >= required[cands]
+            g = g[alive]
+            if not len(g):
+                continue
+            cands = cands[alive]
+            end = model.group_end[g]
+            low = i - search_range[cands]
+            high = i + search_range[cands]
+            # advance resume cursors past dead (below-window) occurrences
+            while True:
+                c = cur[g]
+                adv = (c < end) & (model.pos_flat[np.minimum(c, len(model.pos_flat) - 1)] < low)
+                if not adv.any():
+                    break
+                cur[g[adv]] = c[adv] + 1
+            c = cur[g]
+            ok = c < end
+            pos = model.pos_flat[np.minimum(c, len(model.pos_flat) - 1)]
+            hit = ok & (pos <= high)
+            if hit.any():
+                hg = g[hit]
+                hc = cands[hit]
+                m[hc] += 1
+                cur[hg] += 1
+                match_cand.append(hc)
+                match_char.append(np.full(len(hc), ch, dtype=np.uint32))
+                match_pos.append(pos[hit])
+
+    # --- transpositions (O11) ---
+    t = np.zeros(n, dtype=np.int64)
+    if match_cand:
+        mc = np.concatenate(match_cand)
+        mch = np.concatenate(match_char)
+        mp = np.concatenate(match_pos)
+        # append order is input-position order; stable sort groups by candidate
+        by_i = np.argsort(mc, kind="stable")
+        by_pos = np.lexsort((mp, mc))
+        diff = mch[by_i] != mch[by_pos]
+        np.add.at(t, mc[by_i][diff], 1)
+        t //= 2
+
+    # --- score (O12) + winkler bonus (O13), reference operation order ---
+    passing = m >= required
+    matched = passing & (m > 0)
+    idx = np.flatnonzero(matched)
+    fm = m[idx].astype(dtype)
+    fl = lengths[idx].astype(dtype)
+    ft = t[idx].astype(dtype)
+    sc = (fm / dtype(input_len) + fm / fl + (fm - ft) / fm) / dtype(3.0)
+    if w >= 0.0:
+        boost = sc >= dtype(thr)
+        if boost.any():
+            plen = np.minimum(np.minimum(lengths[idx], input_len), 4)
+            in4 = np.zeros(4, dtype=np.uint32)
+            in4[: min(4, input_len)] = in_codes_all[:4]
+            eq = model.first4[idx] == in4[None, :]
+            # common prefix length: cumulative AND over the first 4 chars
+            run = np.cumprod(eq, axis=1)
+            pl = np.minimum(run.sum(axis=1), plen).astype(dtype)
+            sc = np.where(
+                boost, sc + pl * dtype(w) * (dtype(1.0) - sc), sc
+            )
+    keep = sc >= eff_min[idx]
+    idx = idx[keep]
+    sc = sc[keep]
+
+    # --- zero-match emission (runtime.h:429-438) ---
+    zm = np.flatnonzero(passing & (m == 0) & (eff_min <= 0.0))
+    if len(zm):
+        all_idx = np.concatenate([idx, zm])
+        all_sc = np.concatenate([sc, np.zeros(len(zm), dtype=dtype)])
+        order = np.argsort(all_idx, kind="stable")
+        idx, sc = all_idx[order], all_sc[order]
+
+    # --- n_best (O15): deterministic (score desc, cand asc) ---
+    if n_best is not None and len(idx) > 0:
+        k = min(n_best, len(idx))
+        order = np.lexsort((idx, -sc))[:k]
+        idx, sc = idx[order], sc[order]
+    return idx, sc
+
+
+def score_strings(
+    candidates,
+    input_str: str,
+    *,
+    min_scores=None,
+    min_score=None,
+    weight=0.1,
+    threshold=0.7,
+    n_best=None,
+    dtype=np.float32,
+):
+    """Convenience one-shot: returns [(candidate, score)] like the reference
+    Python binding (``python/cbatch_jaro_winkler.pyx:128``)."""
+    model = build_model(candidates, min_scores=min_scores)
+    idx, sc = score(
+        model,
+        input_str,
+        min_score=min_score,
+        weight=weight,
+        threshold=threshold,
+        n_best=n_best,
+        dtype=dtype,
+    )
+    cand_list = list(candidates)
+    return [(cand_list[int(i)], float(s)) for i, s in zip(idx, sc)]

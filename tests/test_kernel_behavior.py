@@ -1,0 +1,277 @@
+"""Reference behavior vectors, ported from
+/root/reference/python/test/test_behavior.py (the 28 golden cases).
+
+The expectations (inputs, candidates, min_scores, n_best, expected
+(candidate, score) sets) are the reference's observable contract; the code
+exercising them is ours.  Results are candidate-sorted before comparison,
+exactly like the reference tests (test_behavior.py:27).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from batch_jaro_winkler_spark.kernel import build_model, score, score_strings
+
+
+def run_jaro(candidates, inp, min_score=None, n_best=None):
+    """Pure-jaro helper mirroring the reference's run_jaro: weight=None,
+    threshold=None (jaro_distance path, cbatch_jaro_winkler.pyx:186-190)."""
+    if candidates and isinstance(candidates[0], dict):
+        cands = [c["candidate"] for c in candidates]
+        mins = [c["min_score"] for c in candidates]
+    else:
+        cands = list(candidates)
+        mins = None
+    res = score_strings(
+        cands,
+        inp,
+        min_scores=mins,
+        min_score=min_score,
+        weight=None,
+        threshold=None,
+        n_best=n_best,
+    )
+    res.sort(key=lambda r: r[0])
+    return res
+
+
+CANDS = ["hélloz", "中国", "lolz", "hii"]
+EXPECT = [("hii", 0.5), ("hélloz", 1.0), ("lolz", 0.75), ("中国", 0.0)]
+
+
+def test_no_candidates():
+    assert run_jaro([], "hi") == []
+
+
+def test_no_candidates_empty_input():
+    assert run_jaro([], "") == []
+
+
+def test_one_empty_candidate():
+    assert run_jaro([""], "hi") == [("", 0.0)]
+
+
+def test_one_empty_candidate_and_input():
+    assert run_jaro([""], "") == [("", 0.0)]
+
+
+def test_one_perfect_match():
+    assert run_jaro(["hélloz"], "hélloz") == [("hélloz", 1.0)]
+
+
+def test_multiple_matches():
+    assert run_jaro(CANDS, "hélloz") == EXPECT
+
+
+def test_min_scores_all_ok():
+    candidates = [
+        {"candidate": "hélloz", "min_score": 0.9},
+        {"candidate": "中国", "min_score": 0.0},
+        {"candidate": "lolz", "min_score": 0.7},
+        {"candidate": "hii", "min_score": 0.4},
+    ]
+    assert run_jaro(candidates, "hélloz") == EXPECT
+
+
+def test_min_scores_all_ok_exact():
+    candidates = [
+        {"candidate": "hélloz", "min_score": 1.0},
+        {"candidate": "中国", "min_score": 0.0},
+        {"candidate": "lolz", "min_score": 0.75},
+        {"candidate": "hii", "min_score": 0.5},
+    ]
+    assert run_jaro(candidates, "hélloz") == EXPECT
+
+
+def test_min_scores_some_filtered():
+    candidates = [
+        {"candidate": "hélloz", "min_score": 1.0},
+        {"candidate": "中国", "min_score": 0.0},
+        {"candidate": "lolz", "min_score": 0.750001},
+        {"candidate": "hii", "min_score": 0.500001},
+    ]
+    assert run_jaro(candidates, "hélloz") == [("hélloz", 1.0), ("中国", 0.0)]
+
+
+def test_min_scores_all_filtered():
+    candidates = [
+        {"candidate": "中国", "min_score": 0.000001},
+        {"candidate": "lolz", "min_score": 0.750001},
+        {"candidate": "hii", "min_score": 0.500001},
+    ]
+    assert run_jaro(candidates, "hélloz") == []
+
+
+def test_global_min_score_all_ok():
+    assert run_jaro(CANDS, "hélloz", min_score=0.0) == EXPECT
+
+
+def test_global_min_score_some_filtered():
+    assert run_jaro(CANDS, "hélloz", min_score=0.5) == [
+        ("hii", 0.5),
+        ("hélloz", 1.0),
+        ("lolz", 0.75),
+    ]
+
+
+def test_global_min_score_some_filtered2():
+    assert run_jaro(CANDS, "hélloz", min_score=0.500001) == [
+        ("hélloz", 1.0),
+        ("lolz", 0.75),
+    ]
+
+
+def test_global_min_score_all_filtered():
+    assert run_jaro(["中国", "lolz", "hii"], "hélloz", min_score=0.8) == []
+
+
+def test_global_min_score_override_min_scores():
+    candidates = [
+        {"candidate": "hélloz", "min_score": 1.0},
+        {"candidate": "中国", "min_score": 0.0},
+        {"candidate": "lolz", "min_score": 0.750001},
+        {"candidate": "hii", "min_score": 0.500001},
+    ]
+    assert run_jaro(candidates, "hélloz", min_score=0.75) == [
+        ("hélloz", 1.0),
+        ("lolz", 0.75),
+    ]
+
+
+def test_n_best_results_zero():
+    assert run_jaro(CANDS, "hélloz", n_best=0) == []
+
+
+def test_n_best_results_too_big():
+    assert run_jaro(CANDS, "hélloz", n_best=5) == EXPECT
+
+
+def test_n_best_results_all():
+    assert run_jaro(CANDS, "hélloz", n_best=4) == EXPECT
+
+
+def test_n_best_results_some_filtered():
+    assert run_jaro(CANDS, "hélloz", n_best=3) == [
+        ("hii", 0.5),
+        ("hélloz", 1.0),
+        ("lolz", 0.75),
+    ]
+
+
+def test_n_best_results_some_filtered2():
+    assert run_jaro(CANDS, "hélloz", n_best=2) == [
+        ("hélloz", 1.0),
+        ("lolz", 0.75),
+    ]
+
+
+def test_n_best_results_respect_min_scores():
+    candidates = [
+        {"candidate": "hélloz", "min_score": 1.0},
+        {"candidate": "中国", "min_score": 0.0},
+        {"candidate": "lolz", "min_score": 0.750001},
+        {"candidate": "hii", "min_score": 0.5},
+    ]
+    assert run_jaro(candidates, "hélloz", n_best=2) == [
+        ("hii", 0.5),
+        ("hélloz", 1.0),
+    ]
+
+
+def test_n_best_results_respect_min_scores2():
+    candidates = [
+        {"candidate": "hélloz", "min_score": 1.0},
+        {"candidate": "中国", "min_score": 0.0},
+        {"candidate": "lolz", "min_score": 0.75},
+        {"candidate": "hii", "min_score": 0.5},
+    ]
+    assert run_jaro(candidates, "hélloz", n_best=2) == [
+        ("hélloz", 1.0),
+        ("lolz", 0.75),
+    ]
+
+
+def test_n_best_results_respect_min_score():
+    candidates = [
+        {"candidate": "hélloz", "min_score": 1.0},
+        {"candidate": "中国", "min_score": 0.0},
+        {"candidate": "lolz", "min_score": 0.750001},
+        {"candidate": "hii", "min_score": 0.5},
+    ]
+    assert run_jaro(candidates, "hélloz", min_score=0.75001, n_best=2) == [
+        ("hélloz", 1.0)
+    ]
+
+
+def test_n_best_results_respect_min_score2():
+    candidates = [
+        {"candidate": "hélloz", "min_score": 1.0},
+        {"candidate": "中国", "min_score": 0.0},
+        {"candidate": "lolz", "min_score": 0.750001},
+        {"candidate": "hii", "min_score": 0.5},
+    ]
+    assert run_jaro(candidates, "hélloz", min_score=0.75, n_best=2) == [
+        ("hélloz", 1.0),
+        ("lolz", 0.75),
+    ]
+
+
+def test_n_best_results_respect_min_score3():
+    candidates = [
+        {"candidate": "hélloz", "min_score": 1.0},
+        {"candidate": "中国", "min_score": 0.0},
+        {"candidate": "lolz", "min_score": 0.750001},
+        {"candidate": "hii", "min_score": 0.5},
+    ]
+    assert run_jaro(candidates, "hélloz", min_score=0.0, n_best=2) == [
+        ("hélloz", 1.0),
+        ("lolz", 0.75),
+    ]
+
+
+def test_long_candidate():
+    long_candidate = "b" * (256 * 128)
+    normal_candidate = "aaaaaaaaaaa"
+    res = run_jaro([normal_candidate, long_candidate], normal_candidate, min_score=0.9)
+    assert res == [(normal_candidate, 1.0)]
+
+
+def test_long_candidate2():
+    long_candidate = "b" * (256 * 128)
+    normal_candidate = "aaaaaaaaaaa"
+    res = run_jaro([normal_candidate, long_candidate], long_candidate, min_score=0.9)
+    assert res == [(long_candidate, 1.0)]
+
+
+# --- winkler-path checks beyond the reference's jaro-only behavior suite ---
+
+
+def test_winkler_prefix_bonus():
+    # jaro('martha','marhta') = 0.944..., prefix 3 → + 3*0.1*(1-j)
+    res = score_strings(["marhta"], "martha")
+    j = (6 / 6 + 6 / 6 + (6 - 1) / 6) / 3
+    expected = j + 3 * 0.1 * (1 - j)
+    assert res[0][0] == "marhta"
+    assert abs(res[0][1] - expected) < 1e-4
+
+
+def test_winkler_below_threshold_no_bonus():
+    # score below threshold 0.7 → no bonus applied even with shared prefix
+    res = score_strings(["abcxyzuvw"], "abcdefghi", threshold=0.99)
+    res_plain = score_strings(["abcxyzuvw"], "abcdefghi", weight=None, threshold=None)
+    assert abs(res[0][1] - res_plain[0][1]) < 1e-7
+
+
+def test_model_reuse_across_queries():
+    model = build_model(CANDS)
+    for _ in range(3):  # cursors/flags must not leak across queries
+        idx, sc = score(model, "hélloz", weight=None, threshold=None)
+        got = sorted((CANDS[int(i)], float(s)) for i, s in zip(idx, sc))
+        assert got == sorted(EXPECT)
+
+
+def test_float32_dtype():
+    _, sc = score(build_model(["lolz"]), "hélloz", weight=None, threshold=None)
+    assert sc.dtype == np.float32
