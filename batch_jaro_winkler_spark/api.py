@@ -1,0 +1,91 @@
+"""Reference-shaped public API (semantic mirror of the 6-function surface in
+/root/reference/python/cbatch_jaro_winkler.pyx — see SURVEY.md §2.3).
+
+The reference's flow is: compile candidates once into an immutable
+*exportable model* (bytes, storable anywhere), instantiate a *runtime model*
+per process/thread, then run many queries against it.  Here the exportable
+model is a pickled :class:`~batch_jaro_winkler_spark.kernel.CandidateModel`
+(numpy arrays), the runtime model is the unpickled object, and queries are
+the vectorized kernel.  ``nb_runtime_threads`` is accepted for signature
+compatibility; parallelism in this engine comes from Spark partitions
+(SURVEY.md O16), not in-process threads.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+from batch_jaro_winkler_spark.kernel import CandidateModel, build_model, score
+
+__all__ = [
+    "build_exportable_model",
+    "build_runtime_model",
+    "jaro_winkler_distance",
+    "jaro_distance",
+]
+
+
+def _split_candidates(candidates):
+    """Accept the reference's two input shapes (pyx:29-31): ['a', 'b'] or
+    [{'candidate': ..., 'min_score': ...}] (min_score all-or-none)."""
+    candidates = list(candidates)
+    if candidates and isinstance(candidates[0], dict):
+        if not all(isinstance(c, dict) and "min_score" in c for c in candidates):
+            raise ValueError("min_score must be provided for all candidates or none")
+        return [c["candidate"] for c in candidates], [
+            c["min_score"] for c in candidates
+        ]
+    if any(isinstance(c, dict) for c in candidates):
+        raise ValueError("min_score must be provided for all candidates or none")
+    return candidates, None
+
+
+def build_exportable_model(candidates, nb_runtime_threads: int = 1) -> bytes:
+    """Compile candidates to an immutable bytes blob (storable in RAM, disk,
+    S3, or a BinaryType column — reference README.md:85)."""
+    if nb_runtime_threads < 1:
+        raise ValueError("nb_runtime_threads must be >= 1")
+    cands, mins = _split_candidates(candidates)
+    return pickle.dumps(build_model(cands, min_scores=mins), protocol=4)
+
+
+def build_runtime_model(exportable_model: bytes) -> CandidateModel:
+    model = pickle.loads(exportable_model)
+    if not isinstance(model, CandidateModel):
+        raise ValueError("not an exportable model")
+    return model
+
+
+def _distance(runtime_model, inp, min_score, weight, threshold, n_best_results):
+    idx, sc = score(
+        runtime_model,
+        inp,
+        min_score=min_score,
+        weight=weight,
+        threshold=threshold,
+        n_best=n_best_results,
+    )
+    off, codes = runtime_model.offsets, runtime_model.codes
+    out = []
+    for i, s in zip(idx, sc):
+        i = int(i)
+        cand = codes[off[i] : off[i + 1]].tobytes().decode("utf-32-le")
+        out.append((cand, float(s)))
+    return out
+
+
+def jaro_winkler_distance(
+    runtime_model: CandidateModel,
+    inp: str,
+    min_score=None,
+    weight=0.1,
+    threshold=0.7,
+    n_best_results=None,
+):
+    """[(candidate, score)] — defaults mirror cbatch_jaro_winkler.pyx:134."""
+    return _distance(runtime_model, inp, min_score, weight, threshold, n_best_results)
+
+
+def jaro_distance(runtime_model: CandidateModel, inp: str, min_score=None, n_best_results=None):
+    """Pure Jaro: weight/threshold unset (pyx:186-190)."""
+    return _distance(runtime_model, inp, min_score, None, None, n_best_results)

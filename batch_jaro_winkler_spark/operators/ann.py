@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (array<float>).
+
+* :func:`cosine_topk_bruteforce` — exact top-k by cosine, entirely JVM-side
+  (``zip_with``/``aggregate`` dot products + window top-k).  The baseline
+  and the oracle-checkable path.
+* :func:`cosine_topk_lsh` — the scale path: random-hyperplane LSH (sign of
+  projections → bucket key), candidates only join within a bucket (with
+  multi-probe via several independent tables), then exact re-rank.  At 10^12
+  rows the brute-force cross join is impossible; hyperplane LSH keeps the
+  join selective while the final exact re-rank keeps precision.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from batch_jaro_winkler_spark.functions.vectors import cosine
+
+__all__ = ["cosine_topk_bruteforce", "cosine_topk_lsh", "hyperplane_buckets"]
+
+
+def cosine_topk_bruteforce(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    probe_id: str = "probe_id",
+    probe_vec: str = "probe_vec",
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """Exact per-probe top-k: broadcast the (small) probe side across the
+    corpus, JVM-side cosine, window top-k with deterministic tie-break."""
+    crossed = corpus.join(F.broadcast(probes))
+    scored = crossed.select(
+        F.col(probe_id),
+        F.col(vec_id),
+        cosine(F.col(probe_vec), F.col(vec)).alias("cos"),
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.desc("cos"), F.asc(vec_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(probe_id, vec_id, "cos", "rank")
+    )
+
+
+def hyperplane_buckets(
+    df: DataFrame,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Append (table_id, bucket) keys: sign-pattern of ``n_planes`` random
+    projections per table.  Vectorized matmul per Arrow batch."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim)).astype(np.float32)
+    cols = df.columns
+    weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+
+    def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy())  # (n, dim)
+            out = []
+            for t in range(n_tables):
+                signs = (mat @ planes[t].T) > 0  # (n, n_planes)
+                bucket = (signs.astype(np.uint64) * weights).sum(axis=1)
+                out.append(
+                    pdf.assign(
+                        table_id=np.int32(t), **{out_col: bucket.view(np.int64)}
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    schema += f", table_id int, {out_col} long"
+    return df.mapInPandas(bucketize, schema=schema)
+
+
+def cosine_topk_lsh(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    probe_id: str = "probe_id",
+    probe_vec: str = "probe_vec",
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate per-probe top-k: candidates share a hyperplane bucket in
+    at least one table; exact cosine re-rank on the candidate set only."""
+    pb = hyperplane_buckets(
+        probes.select(probe_id, probe_vec), probe_vec, dim, n_planes, n_tables, seed
+    )
+    cb = hyperplane_buckets(
+        corpus.select(vec_id, vec), vec, dim, n_planes, n_tables, seed
+    )
+    cand = (
+        cb.join(F.broadcast(pb), ["table_id", "bucket"])
+        .select(probe_id, vec_id, probe_vec, vec)
+        .dropDuplicates([probe_id, vec_id])
+    )
+    scored = cand.select(
+        F.col(probe_id), F.col(vec_id), cosine(F.col(probe_vec), F.col(vec)).alias("cos")
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.desc("cos"), F.asc(vec_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(probe_id, vec_id, "cos", "rank")
+    )

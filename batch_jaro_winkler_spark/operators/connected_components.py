@@ -1,0 +1,107 @@
+"""Connected components over the verified-edge graph → cluster ids.
+
+Large-star / small-star alternation (Kiveris et al., "Connected Components
+in MapReduce and Beyond", SoCC'14 — see PAPERS.md), expressed as pure
+DataFrame self-joins + aggregations so Catalyst/AQE own the physical plan:
+
+* large-star: for every node u, link every *strictly larger* neighbor to
+  the minimum of u's closed neighborhood;
+* small-star: for every node u, link every *smaller-or-equal* neighbor
+  (and u itself) to that minimum.
+
+Converges in O(log n) rounds; near-dup web clusters are shallow so it
+typically stops in 3-5.  Each round ends with ``localCheckpoint`` — an
+iterative self-join otherwise compounds the lineage until driver planning
+time dominates (SURVEY.md §7 hard parts).  Convergence is detected by an
+edge-checksum fixpoint (count + xxhash sum), one cheap aggregate per round.
+
+Output: (doc_id, cluster_id) where cluster_id = min(doc_id) of the
+component — including singleton docs if ``all_nodes`` is given.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from batch_jaro_winkler_spark.operators.config import DedupConfig
+
+__all__ = ["connected_components"]
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Canonical undirected edge set: (hi, lo) with hi > lo, distinct."""
+    return (
+        edges.select(
+            F.greatest("a", "b").alias("hi"), F.least("a", "b").alias("lo")
+        )
+        .where(F.col("hi") != F.col("lo"))
+        .distinct()
+    )
+
+
+def _checksum(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(hi, lo))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    sym = edges.select(F.col("hi").alias("u"), F.col("lo").alias("v")).union(
+        edges.select(F.col("lo").alias("u"), F.col("hi").alias("v"))
+    )
+    mins = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("a"), F.col("m").alias("b"))
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # edges are (hi, lo), hi > lo: group by hi, attach all lo's (and hi) to
+    # the neighborhood minimum
+    mins = edges.groupBy("hi").agg(F.min("lo").alias("m"))
+    linked = edges.join(mins, "hi")
+    lo_links = linked.select(F.col("lo").alias("a"), F.col("m").alias("b"))
+    hi_links = mins.select(F.col("hi").alias("a"), F.col("m").alias("b"))
+    return lo_links.union(hi_links)
+
+
+def connected_components(
+    edges: DataFrame,
+    cfg: DedupConfig | None = None,
+    all_nodes: DataFrame | None = None,
+) -> DataFrame:
+    """edges[a, b] → (doc_id, cluster_id).
+
+    ``all_nodes`` (optional, one ``doc_id`` column) adds singleton docs with
+    cluster_id = doc_id, so the output is a total cluster assignment.
+    """
+    max_iters = (cfg or DedupConfig()).cc_max_iters
+    cur = _canon(edges).localCheckpoint(eager=True)
+    prev_sig = _checksum(cur)
+    for _ in range(max_iters):
+        cur = _canon(_small_star(_canon(_large_star(cur)))).localCheckpoint(eager=True)
+        sig = _checksum(cur)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # fixpoint of star rounds is a forest of depth-1 stars: hi -> root(lo)
+    members = cur.select(F.col("hi").alias("doc_id"), F.col("lo").alias("cluster_id"))
+    roots = cur.select(F.col("lo").alias("doc_id")).distinct().withColumn(
+        "cluster_id", F.col("doc_id")
+    )
+    assign = members.union(roots)
+    if all_nodes is not None:
+        singletons = (
+            all_nodes.select(F.col(all_nodes.columns[0]).alias("doc_id"))
+            .join(assign.select("doc_id"), "doc_id", "left_anti")
+            .withColumn("cluster_id", F.col("doc_id"))
+        )
+        assign = assign.union(singletons)
+    return assign

@@ -1,0 +1,90 @@
+"""LSH banding → candidate-pair generation (the only big shuffle in the
+dedup pipeline, so this is where the scale design concentrates).
+
+Scale design (SURVEY.md §7 step 5, R8):
+
+* ``posexplode`` the per-doc band-hash array → (band_id, band_hash, doc_id):
+  bands× row inflation, but only 3 small columns, all JVM-side.
+* one hash-shuffle on the composite bucket key (band_id, band_hash); AQE
+  coalesces small partitions, and skew is bounded *structurally*: inside
+  each bucket, pair generation is capped.  Web-scale band buckets follow a
+  power law — a bucket of a million near-identical pages must NOT emit
+  10^12 pairs.  Buckets up to ``allpairs_cap`` emit all pairs; larger
+  buckets sort members by an independent hash of their MinHash signature
+  and chain each member to its next ``neighbor_window`` neighbors — linear
+  in bucket size while keeping the bucket connected, which is all
+  connected-components needs for correct clusters.
+* pair dedup across bands is a ``groupBy(a, b)`` (map-side partial agg),
+  which also yields ``n_bands`` (band-agreement count, a cheap similarity
+  prior usable as a pre-verify filter).
+
+The reference analog: a band bucket is this engine's 'candidate batch' —
+the unit the batched JW kernel compiles one shared index for (SURVEY.md §1
+data model row 1).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from batch_jaro_winkler_spark.operators.config import DedupConfig
+
+__all__ = ["band_buckets", "candidate_pairs"]
+
+
+def band_buckets(signatures: DataFrame) -> DataFrame:
+    """signatures → (band_id, band_hash, doc_id, sort_key); empty docs are
+    dropped (their sentinel band hashes would otherwise form one giant
+    cross-product bucket)."""
+    return (
+        signatures.where(F.col("n_tokens") > 0)
+        .select(
+            "doc_id",
+            F.col("minhash").getItem(0).alias("sort_key"),
+            F.posexplode("band_hashes").alias("band_id", "band_hash"),
+        )
+        .select("band_id", "band_hash", "doc_id", "sort_key")
+    )
+
+
+def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
+    """buckets → distinct (a, b, n_bands) with a < b.
+
+    Grouped-map over each (band_id, band_hash) bucket with the capped
+    pair-gen policy; then a groupBy(a,b) both dedups across bands and
+    counts band agreement.
+    """
+    cap = cfg.allpairs_cap
+    window = cfg.neighbor_window
+
+    def gen(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = np.sort(pdf["doc_id"].to_numpy(np.int64))
+        n = len(ids)
+        if n < 2:
+            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
+        if n <= cap:
+            ai, bi = np.triu_indices(n, k=1)
+            return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
+        # hot bucket: sort by signature-derived key so near-identical docs
+        # are adjacent, then chain each doc to its next `window` neighbors
+        order = np.lexsort((pdf["doc_id"].to_numpy(np.int64), pdf["sort_key"].to_numpy(np.int64)))
+        ids = pdf["doc_id"].to_numpy(np.int64)[order]
+        chunks_a, chunks_b = [], []
+        for w in range(1, window + 1):
+            chunks_a.append(ids[:-w])
+            chunks_b.append(ids[w:])
+        a = np.concatenate(chunks_a)
+        b = np.concatenate(chunks_b)
+        lo = np.minimum(a, b)
+        hi = np.maximum(a, b)
+        keep = lo != hi
+        return pd.DataFrame({"a": lo[keep], "b": hi[keep]})
+
+    pairs = buckets.groupBy("band_id", "band_hash").applyInPandas(
+        gen, schema="a long, b long"
+    )
+    return pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_bands"))

@@ -1,0 +1,114 @@
+"""Checkpoint catalog: Iceberg-style atomic table checkpoints on parquet.
+
+The pipeline's resumability layer (SURVEY.md §7 step 9).  The sandbox has
+no Iceberg runtime jar, so this implements the same contract on plain
+parquet + a JSON manifest:
+
+* a stage checkpoint is ``<root>/<name>/data/*.parquet`` plus
+  ``<root>/<name>/manifest.json`` holding schema, row count, config hash,
+  stage version and wall time (per-partition lineage + metrics);
+* writes are atomic-by-rename: data lands in a temp dir, the manifest is
+  written last — a checkpoint without a manifest is invisible, so a killed
+  job never exposes partial state;
+* :func:`load_or_compute` skips recomputation iff a manifest exists with a
+  matching config hash (kill the job after stage k, rerun, stages 1..k are
+  read back — the resume test in tests/test_pipeline_recall.py).
+
+On a real deployment the same five functions map 1:1 onto Iceberg
+``writeTo(...).createOrReplace()`` + snapshot metadata; the pipeline code
+is identical under either backend.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+__all__ = ["Catalog"]
+
+
+class Catalog:
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def _dir(self, name: str) -> str:
+        return os.path.join(self.root, name)
+
+    def _manifest_path(self, name: str) -> str:
+        return os.path.join(self._dir(name), "manifest.json")
+
+    def manifest(self, name: str) -> dict | None:
+        try:
+            with open(self._manifest_path(name)) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return None
+
+    def exists(self, name: str, config_hash: str | None = None) -> bool:
+        m = self.manifest(name)
+        if m is None:
+            return False
+        return config_hash is None or m.get("config_hash") == config_hash
+
+    def read(self, name: str) -> DataFrame:
+        return self.spark.read.parquet(os.path.join(self._dir(name), "data"))
+
+    def write(
+        self,
+        name: str,
+        df: DataFrame,
+        config_hash: str,
+        stage_version: int = 1,
+        extra_meta: dict | None = None,
+    ) -> DataFrame:
+        """Materialize df as the checkpoint ``name`` (atomic), return the
+        re-read DataFrame (so downstream stages scan parquet, cutting
+        lineage exactly like an Iceberg table boundary would)."""
+        t0 = time.time()
+        table_dir = self._dir(name)
+        tmp = os.path.join(self.root, f"_tmp_{name}_{uuid.uuid4().hex[:8]}")
+        df.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
+        back = self.spark.read.parquet(os.path.join(tmp, "data"))
+        n_rows = back.count()
+        n_files = len(
+            [f for f in os.listdir(os.path.join(tmp, "data")) if f.endswith(".parquet")]
+        )
+        manifest = {
+            "table": name,
+            "config_hash": config_hash,
+            "stage_version": stage_version,
+            "rows": n_rows,
+            "files": n_files,
+            "schema": back.schema.jsonValue(),
+            "wall_sec": round(time.time() - t0, 3),
+            "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
+            **(extra_meta or {}),
+        }
+        with open(os.path.join(tmp, "manifest.json"), "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        if os.path.exists(table_dir):
+            shutil.rmtree(table_dir)
+        os.rename(tmp, table_dir)
+        return self.read(name)
+
+    def load_or_compute(
+        self,
+        name: str,
+        config_hash: str,
+        compute,
+        stage_version: int = 1,
+        extra_meta: dict | None = None,
+    ) -> tuple[DataFrame, bool]:
+        """→ (df, was_cached).  ``compute`` is a 0-arg callable returning the
+        stage DataFrame; only invoked on a config-hash miss."""
+        if self.exists(name, config_hash):
+            return self.read(name), True
+        df = self.write(name, compute(), config_hash, stage_version, extra_meta)
+        return df, False

@@ -1,0 +1,92 @@
+"""End-to-end pipeline gates (SURVEY.md §5 layers c+d):
+
+* dup-pair recall >= 0.99 vs the planted brute-force ground truth at the
+  configured shingle/signature/threshold;
+* substring stage catches planted verbatim >=200-char substrings;
+* resume: rerunning reuses checkpoints, and outputs are identical.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from batch_jaro_winkler_spark.fixtures import make_corpus
+from batch_jaro_winkler_spark.operators.config import DedupConfig
+from batch_jaro_winkler_spark.pipeline import DedupPipeline, extract_text
+
+N_ROWS = 600
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return make_corpus(n_rows=N_ROWS, seed=42)
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark, corpus):
+    rows = [
+        (i, r["url"], r["warc_ts"], r["html"], r["text"], r["lang"])
+        for i, r in enumerate(corpus.rows)
+    ]
+    return spark.createDataFrame(
+        rows, "doc_id long, url string, warc_ts timestamp, html binary, text string, lang string"
+    )
+
+
+def _cluster_pairs(clusters_df):
+    a = clusters_df.select(F.col("doc_id").alias("a"), "cluster_id")
+    b = clusters_df.select(F.col("doc_id").alias("b"), "cluster_id")
+    return {
+        (r["a"], r["b"])
+        for r in a.join(b, "cluster_id").where(F.col("a") < F.col("b")).collect()
+    }
+
+
+def test_extract_text_invariant(docs_df):
+    ext = extract_text(docs_df.drop("text"), "html", "text2")
+    mismatch = (
+        ext.join(docs_df.select("url", "text"), "url")
+        .where(F.col("text2") != F.col("text"))
+        .count()
+    )
+    assert mismatch == 0  # byte-identical extracted text per url (input_hint)
+
+
+def test_recall_and_resume(spark, corpus, docs_df, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ckpt"))
+    cfg = DedupConfig()
+    pipe = DedupPipeline(spark, cfg, root)
+    clusters = pipe.run(docs_df, "doc_id", "text").cache()
+
+    assert clusters.count() == N_ROWS  # total assignment incl. singletons
+    got_pairs = _cluster_pairs(clusters)
+
+    truth = corpus.true_pairs
+    found = truth & got_pairs
+    recall = len(found) / len(truth)
+    assert recall >= 0.99, f"recall {recall:.4f} ({len(found)}/{len(truth)})"
+
+    # substring-planted pairs: same-cluster via the fingerprint stage
+    sub_found = corpus.substring_pairs & got_pairs
+    sub_recall = len(sub_found) / max(1, len(corpus.substring_pairs))
+    assert sub_recall >= 0.9, f"substring recall {sub_recall:.3f}"
+
+    # precision sanity: the verified graph should not glue unrelated docs
+    all_truth = truth | corpus.substring_pairs
+    false_pairs = got_pairs - all_truth
+    precision = 1 - len(false_pairs) / max(1, len(got_pairs))
+    assert precision >= 0.95, f"precision {precision:.4f}"
+
+    # --- resume: second run must reuse every checkpoint and match exactly ---
+    pipe2 = DedupPipeline(spark, cfg, root)
+    clusters2 = pipe2.run(docs_df, "doc_id", "text")
+    assert all(m.cached for m in pipe2.metrics), pipe2.metrics
+    diff = clusters.exceptAll(clusters2).count() + clusters2.exceptAll(clusters).count()
+    assert diff == 0
+
+    # --- config change invalidates checkpoints ---
+    cfg3 = DedupConfig(jw_min_score=0.9)
+    pipe3 = DedupPipeline(spark, cfg3, root)
+    pipe3.run(docs_df, "doc_id", "text")
+    assert not any(m.cached for m in pipe3.metrics)
