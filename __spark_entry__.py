@@ -1,38 +1,576 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship end-to-end dedup pipeline on sf0.001.
+``queries()`` exposes one callable per implemented operator family
+(SURVEY.md §2); ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL.
+Spark expressions and oracle SQL are generated from the same constants in
+``batch_jaro_winkler_spark.functions`` wherever possible, so the two sides
+cannot drift.  Float-valued outputs are rounded (4-6 dp) on BOTH sides;
+ranks/top-k order by the rounded value with an id tie-break so ordering is
+engine-independent.
 """
 
 from __future__ import annotations
 
+import tempfile
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from batch_jaro_winkler_spark.functions import hashing as H
+from batch_jaro_winkler_spark.functions import text as TX
+from batch_jaro_winkler_spark.functions import vectors as V
+
+# ---------------------------------------------------------------- helpers
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+_JW_PROBE_N = 20       # probes for jw_topk (doc_id < N)
+_JW_PREFIX = 48        # normalized-prefix length scored by jw_topk
+_JWP_N = 120           # docs in the jw_pairs cross set
+_JWP_PREFIX = 40
+_JAC_N = 150           # docs in the ngram-jaccard pair query
+_MINHASH_K = 16        # md5-minhash permutations (verifiable variant)
+_MINHASH_BANDS = 4
+_FP_PREFIX = 400       # chars of normalized text fingerprinted
+_FP_GRAM = 8
+
+
+def _norm_prefix(col, n):
+    return F.substring(TX.normalize_text(col), 1, n)
+
+
+def _norm_prefix_sql(expr, n):
+    return f"substr({TX.normalize_sql(expr)}, 1, {n})"
+
+
+# ---------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the end-to-end near-dup pipeline (MinHash → LSH → batched
+    Jaro-Winkler verification → substring stage → connected components) on
+    the sf0.001 documents table → total (doc_id, cluster_id, cluster_size)
+    assignment."""
+    from batch_jaro_winkler_spark.operators.config import DedupConfig
+    from batch_jaro_winkler_spark.pipeline import DedupPipeline
+
+    docs = _t(spark, "/root/testdata/sf0.001", "documents")
+    pipe = DedupPipeline(spark, DedupConfig(), tempfile.mkdtemp(prefix="bjws_entry_"))
+    clusters = pipe.run(docs, "doc_id", "text")
+    sizes = clusters.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    return clusters.join(sizes, "cluster_id").select(
+        "doc_id", "cluster_id", "cluster_size"
+    )
+
+
+# ---------------------------------------------------------------- queries
+
+def _rel_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    # money math in exact integer cents/basis-points: double->decimal casts
+    # round differently across engines at midpoints, integer arithmetic
+    # cannot (prices are 2dp, discounts 2dp)
+    cents = F.round(F.col("l_extendedprice") * 100).cast("long")
+    disc_bp = F.round(F.col("l_discount") * 100).cast("long")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            (F.sum(cents) / 100.0).alias("sum_base_price"),
+            (F.sum(cents * (100 - disc_bp)) / 10000.0).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def _rel_top_orders_per_cust(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        o.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 3)
+        .select("o_custkey", "o_orderkey", "rank")
+    )
+
+
+def _rel_nation_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    n = _t(spark, sf_dir, "nation")
+    return (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            (F.sum(F.round(F.col("o_totalprice") * 100).cast("long")) / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+def _rel_parts_never_ordered(spark, sf_dir):
+    p = _t(spark, sf_dir, "part").select("p_partkey")
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("p_partkey")
+    )
+    return p.exceptAll(p.join(li, "p_partkey", "left_semi"))
+
+
+def _rel_top10_orders(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", F.col("o_totalprice").alias("totalprice"))
+    )
+
+
+def _dedup_exact(spark, sf_dir):
+    from batch_jaro_winkler_spark.operators.exact_dedup import exact_dup_groups
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dup_groups(docs, "doc_id", "text").select("doc_id", "rep_id")
+
+
+def _dedup_ngram_jaccard(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < _JAC_N)
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(TX.word_shingles(TX.tokens(F.col("text")), 3)).alias("sh"),
+    ).where(F.size("sh") > 0)
+    a = sh.select(F.col("doc_id").alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("doc_id").alias("b"), F.col("sh").alias("sh_b"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    jac = inter.cast("double") / union
+    return (
+        pairs.select("a", "b", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= 0.5)
+    )
+
+
+def _dedup_minhash_lsh(spark, sf_dir):
+    """Verifiable md5-MinHash + LSH banding: pairs agreeing on >=1 of
+    4 bands (4 rows each, k=16).  The scale pipeline uses the fast
+    multiply-shift variant (operators/signatures.py, rows-only query)."""
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        F.array_distinct(TX.word_shingles(TX.tokens(F.col("text")), 3)).alias("sh"),
+    ).where(F.size("sh") > 0)
+    sig = sh.select("doc_id", H.minhash_md5(F.col("sh"), _MINHASH_K).alias("sig"))
+    r = _MINHASH_K // _MINHASH_BANDS
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "-", *[F.col("sig").getItem(i * r + j).cast("string") for j in range(r)]
+                    )
+                    for i in range(_MINHASH_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_key"),
+    )
+    left = bands.select("band_id", "band_key", F.col("doc_id").alias("a"))
+    right = bands.select("band_id", "band_key", F.col("doc_id").alias("b"))
+    return (
+        left.join(right, ["band_id", "band_key"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+
+
+def _dedup_simhash32(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    tok = TX.tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.when(F.size(tok) > 0, H.simhash_md5(tok, 32)).otherwise(F.lit(0)).alias("simhash32"),
+    )
+
+
+def _text_quality(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    m = TX.quality_metrics(F.col("text"))
+    return docs.select(
+        "doc_id",
+        m["n_chars"].alias("n_chars"),
+        m["n_tokens"].alias("n_tokens"),
+        F.round(m["mean_token_len"], 6).alias("mean_token_len"),
+        F.round(m["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(m["stopword_ratio"], 6).alias("stopword_ratio"),
+    )
+
+
+def _text_langid(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.lang_guess(F.col("text")).alias("lang_pred"))
+
+
+def _doc_fingerprint(spark, sf_dir):
+    """Winnowing-style fingerprint (verifiable variant): min md5-hash over
+    all 8-char grams of the normalized prefix — the SQL-expressible analog
+    of operators/fingerprint_dedup.py's rolling-hash winnowing."""
+    docs = _t(spark, sf_dir, "documents")
+    norm = _norm_prefix(F.col("text"), _FP_PREFIX)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - F.lit(_FP_GRAM - 1), F.lit(1))),
+        lambda i: H.md5_u60(F.substring(norm, i, _FP_GRAM)),
+    )
+    return docs.select("doc_id", F.array_min(grams).alias("fingerprint"))
+
+
+def _jw_topk(spark, sf_dir):
+    """Top-5 Jaro-Winkler candidates per probe doc over the whole corpus,
+    through the batched kernel (reference semantics, float64 to match the
+    DuckDB oracle); rank on (rounded score desc, cand_id asc)."""
+    import numpy as np
+
+    from batch_jaro_winkler_spark.operators.score_pairs import score_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") < _JW_PROBE_N).select(
+        F.col("doc_id").alias("probe_id"),
+        _norm_prefix(F.col("text"), _JW_PREFIX).alias("probe_text"),
+    )
+    cands = docs.select(
+        F.col("doc_id").alias("cand_id"),
+        _norm_prefix(F.col("text"), _JW_PREFIX).alias("cand_text"),
+    )
+    scored = score_topk(
+        probes, cands, k=500000, weight=0.1, threshold=0.7,
+        min_score=0.5, dtype=np.float64,
+    ).select("probe_id", "cand_id", F.round("score", 4).alias("score_r"))
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score_r"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+    )
+
+
+def _jw_pairs(spark, sf_dir):
+    """All pairs among the first _JWP_N docs with pure-Jaro >= 0.75 on the
+    normalized 40-char prefix (kernel float64) — oracle: DuckDB
+    jaro_similarity."""
+    import numpy as np
+
+    from batch_jaro_winkler_spark.operators.score_pairs import score_topk
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < _JWP_N)
+    probes = docs.select(
+        F.col("doc_id").alias("probe_id"),
+        _norm_prefix(F.col("text"), _JWP_PREFIX).alias("probe_text"),
+    )
+    cands = docs.select(
+        F.col("doc_id").alias("cand_id"),
+        _norm_prefix(F.col("text"), _JWP_PREFIX).alias("cand_text"),
+    )
+    scored = score_topk(
+        probes, cands, k=500000, weight=None, threshold=None,
+        min_score=0.75, dtype=np.float64,
+    )
+    return (
+        scored.where(F.col("probe_id") < F.col("cand_id"))
+        .select(
+            F.col("probe_id").alias("a"),
+            F.col("cand_id").alias("b"),
+            F.round("score", 4).alias("score_r"),
+        )
+    )
+
+
+def _ann_cosine_topk(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    scored = emb.join(F.broadcast(probes)).select(
+        "probe_id",
+        "vec_id",
+        F.round(V.cosine(F.col("probe_vec"), F.col("embedding")), 5).alias("cos_r"),
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cos_r"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 10)
+    )
+
+
+def _events_sessions(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    epoch = F.col("ts").cast("timestamp").cast("long")
+    gap = epoch - F.lag(epoch).over(w)
+    marked = ev.withColumn(
+        "new_session",
+        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+    )
+    return marked.groupBy("user_id").agg(
+        F.sum("new_session").alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 4).alias("total_value"),
+    )
+
+
+def _mm_binary_meta(spark, sf_dir):
+    """Multimodal plumbing: treat content as an opaque binary column with
+    typed metadata (byte length + magic-bytes prefix).  Decode itself is a
+    stub (see batch_jaro_winkler_spark/multimodal.py); the schema/metadata
+    path is real and oracle-checked."""
+    docs = _t(spark, sf_dir, "documents")
+    payload = F.encode(F.col("text"), "utf-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).alias("n_bytes"),
+        F.hex(F.encode(F.substring(F.col("text"), 1, 4), "utf-8")).alias("head_hex"),
+    )
+
+
+def _pipeline_lsh_pairs(spark, sf_dir):
+    """The REAL scale-path candidate generator (128-perm multiply-shift
+    MinHash + FNV band fold + capped pair-gen).  Not SQL-expressible →
+    rows-only driver check; its correctness gate is the planted-recall
+    pytest suite."""
+    from batch_jaro_winkler_spark.operators.config import DedupConfig
+    from batch_jaro_winkler_spark.operators.lsh import band_buckets, candidate_pairs
+    from batch_jaro_winkler_spark.operators.signatures import compute_signatures
+
+    docs = _t(spark, sf_dir, "documents")
+    cfg = DedupConfig()
+    sig = compute_signatures(docs, cfg, "doc_id", "text")
+    return candidate_pairs(band_buckets(sig), cfg).select("a", "b", "n_bands")
+
+
+def _pipeline_simhash_pairs(spark, sf_dir):
+    """64-bit SimHash hamming<=3 pairs via pigeonhole blocks (rows-only)."""
+    from batch_jaro_winkler_spark.operators.config import DedupConfig
+    from batch_jaro_winkler_spark.operators.signatures import compute_signatures
+    from batch_jaro_winkler_spark.operators.simhash import simhash_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    sig = compute_signatures(docs, DedupConfig(), "doc_id", "text")
+    return simhash_pairs(sig.select("doc_id", "simhash"), max_hamming=3)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # relational operator coverage (SURVEY.md §2.2)
+        "rel_q1": _rel_q1,
+        "rel_top_orders_per_cust": _rel_top_orders_per_cust,
+        "rel_nation_revenue": _rel_nation_revenue,
+        "rel_parts_never_ordered": _rel_parts_never_ordered,
+        "rel_top10_orders": _rel_top10_orders,
+        # dedup family
+        "dedup_exact": _dedup_exact,
+        "dedup_ngram_jaccard": _dedup_ngram_jaccard,
+        "dedup_minhash_lsh": _dedup_minhash_lsh,
+        "dedup_simhash32": _dedup_simhash32,
+        # reference JW capabilities (O10-O15)
+        "jw_topk": _jw_topk,
+        "jw_pairs": _jw_pairs,
+        # text analysis
+        "text_quality": _text_quality,
+        "text_langid": _text_langid,
+        "doc_fingerprint": _doc_fingerprint,
+        # similarity search / events / multimodal
+        "ann_cosine_topk": _ann_cosine_topk,
+        "events_sessions": _events_sessions,
+        "mm_binary_meta": _mm_binary_meta,
+        # scale-path operators (rows-only checks; pytest owns correctness)
+        "pipeline_lsh_pairs": _pipeline_lsh_pairs,
+        "pipeline_simhash_pairs": _pipeline_simhash_pairs,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------- oracles
+
+def _sql_tokens(expr: str) -> str:
+    return TX.tokens_sql(expr)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    norm_jw = _norm_prefix_sql("text", _JW_PREFIX)
+    norm_jwp = _norm_prefix_sql("text", _JWP_PREFIX)
+    norm_fp = _norm_prefix_sql("text", _FP_PREFIX)
+    sh3 = f"list_distinct({TX.word_shingles_sql(_sql_tokens('text'), 3)})"
+    q = TX.quality_metrics_sql("text")
+    r = _MINHASH_K // _MINHASH_BANDS
+    band_keys = ", ".join(
+        "concat_ws('-', "
+        + ", ".join(f"sig[{i * r + j + 1}]::VARCHAR" for j in range(r))
+        + f") AS band_{i}"
+        for i in range(_MINHASH_BANDS)
+    )
+    band_unpivot = " UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band_id, band_{i} AS band_key FROM sigs"
+        for i in range(_MINHASH_BANDS)
+    )
+    simhash32 = H.simhash_md5_sql("toks", 32)
+
+    return {
+        "rel_q1": """
+            SELECT l_returnflag, l_linestatus,
+                   sum(l_quantity) AS sum_qty,
+                   sum(round(l_extendedprice * 100)::BIGINT) / 100.0 AS sum_base_price,
+                   sum(round(l_extendedprice * 100)::BIGINT
+                       * (100 - round(l_discount * 100)::BIGINT)) / 10000.0 AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   round(avg(l_discount), 4) AS avg_disc,
+                   count(*) AS count_order
+            FROM lineitem
+            GROUP BY l_returnflag, l_linestatus
+            ORDER BY l_returnflag, l_linestatus
+        """,
+        "rel_top_orders_per_cust": """
+            SELECT o_custkey, o_orderkey, rank FROM (
+              SELECT o_custkey, o_orderkey,
+                     row_number() OVER (PARTITION BY o_custkey
+                                        ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank
+              FROM orders) WHERE rank <= 3
+        """,
+        "rel_nation_revenue": """
+            SELECT n_name,
+                   sum(round(o_totalprice * 100)::BIGINT) / 100.0 AS revenue,
+                   count(*) AS n_orders
+            FROM orders JOIN customer ON o_custkey = c_custkey
+                        JOIN nation ON c_nationkey = n_nationkey
+            GROUP BY n_name
+        """,
+        "rel_parts_never_ordered": """
+            SELECT p_partkey FROM part
+            EXCEPT ALL
+            SELECT p_partkey FROM part
+            WHERE p_partkey IN (SELECT l_partkey FROM lineitem)
+        """,
+        "rel_top10_orders": """
+            SELECT o_orderkey, o_custkey, o_totalprice AS totalprice
+            FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "dedup_exact": """
+            SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS rep_id
+            FROM documents
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH sh AS (
+              SELECT doc_id, {sh3} AS s FROM documents
+              WHERE doc_id < {_JAC_N} AND len({sh3}) > 0
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   round(len(list_intersect(a.s, b.s)) * 1.0 /
+                         (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6)
+                     AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE round(len(list_intersect(a.s, b.s)) * 1.0 /
+                        (len(a.s) + len(b.s) - len(list_intersect(a.s, b.s))), 6) >= 0.5
+        """,
+        "dedup_minhash_lsh": f"""
+            WITH sigs AS (
+              SELECT doc_id, {band_keys} FROM (
+                SELECT doc_id, {H.minhash_md5_sql(f"list_distinct({TX.word_shingles_sql(_sql_tokens('text'), 3)})", _MINHASH_K)} AS sig
+                FROM documents
+                WHERE len(list_distinct({TX.word_shingles_sql(_sql_tokens('text'), 3)})) > 0
+              )
+            ), bands AS ({band_unpivot})
+            SELECT DISTINCT l.doc_id AS a, r.doc_id AS b
+            FROM bands l JOIN bands r
+              ON l.band_id = r.band_id AND l.band_key = r.band_key
+             AND l.doc_id < r.doc_id
+        """,
+        "dedup_simhash32": f"""
+            SELECT doc_id,
+                   CASE WHEN len(toks) > 0 THEN {simhash32} ELSE 0 END AS simhash32
+            FROM (SELECT doc_id, {_sql_tokens('text')} AS toks FROM documents)
+        """,
+        "text_quality": f"""
+            SELECT doc_id,
+                   {q['n_chars']} AS n_chars,
+                   {q['n_tokens']} AS n_tokens,
+                   round({q['mean_token_len']}, 6) AS mean_token_len,
+                   round({q['alpha_ratio']}, 6) AS alpha_ratio,
+                   round({q['stopword_ratio']}, 6) AS stopword_ratio
+            FROM documents
+        """,
+        "text_langid": f"""
+            SELECT doc_id, {TX.lang_guess_sql('text')} AS lang_pred FROM documents
+        """,
+        "doc_fingerprint": f"""
+            SELECT doc_id,
+                   list_min(list_transform(
+                     generate_series(1, greatest(length({norm_fp}) - {_FP_GRAM - 1}, 1)),
+                     i -> {H.md5_u60_sql(f"substr({norm_fp}, i, {_FP_GRAM})")}
+                   )) AS fingerprint
+            FROM documents
+        """,
+        "jw_topk": f"""
+            WITH probes AS (
+              SELECT doc_id AS probe_id, {norm_jw} AS ptext FROM documents
+              WHERE doc_id < {_JW_PROBE_N}
+            ), cands AS (
+              SELECT doc_id AS cand_id, {norm_jw} AS ctext FROM documents
+            ), scored AS (
+              SELECT probe_id, cand_id,
+                     round(jaro_winkler_similarity(ptext, ctext), 4) AS score_r
+              FROM probes, cands
+              WHERE jaro_winkler_similarity(ptext, ctext) >= 0.5
+            )
+            SELECT probe_id, cand_id, score_r, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY probe_id
+                                           ORDER BY score_r DESC, cand_id ASC) AS rank
+              FROM scored) WHERE rank <= 5
+        """,
+        "jw_pairs": f"""
+            WITH d AS (
+              SELECT doc_id, {norm_jwp} AS t FROM documents WHERE doc_id < {_JWP_N}
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b,
+                   round(jaro_similarity(a.t, b.t), 4) AS score_r
+            FROM d a JOIN d b ON a.doc_id < b.doc_id
+            WHERE jaro_similarity(a.t, b.t) >= 0.75
+        """,
+        "ann_cosine_topk": f"""
+            WITH probes AS (
+              SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+              SELECT probe_id, e.vec_id,
+                     round({V.cosine_sql('pvec', 'e.embedding')}, 5) AS cos_r
+              FROM probes, embeddings e
+            )
+            SELECT probe_id, vec_id, cos_r, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY probe_id
+                                           ORDER BY cos_r DESC, vec_id ASC) AS rank
+              FROM scored) WHERE rank <= 10
+        """,
+        "events_sessions": """
+            WITH marked AS (
+              SELECT user_id, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            )
+            SELECT user_id, sum(new_session) AS n_sessions,
+                   count(*) AS n_events, round(sum(value), 4) AS total_value
+            FROM marked GROUP BY user_id
+        """,
+        "mm_binary_meta": """
+            SELECT doc_id,
+                   octet_length(encode(text)) AS n_bytes,
+                   hex(encode(substr(text, 1, 4))) AS head_hex
+            FROM documents
+        """,
+        # pipeline_lsh_pairs / pipeline_simhash_pairs: intentionally no
+        # oracle — multiply-shift/FNV hashing is not SQL-expressible; the
+        # driver records rows-only and pytest owns their correctness.
+    }

@@ -63,14 +63,17 @@ def simhash_md5(tok: Column, bits: int = 32) -> Column:
     (+1 if bit set else -1) across token hashes; packs to a bigint.
     Expressed entirely with built-in functions (aggregate over bit tests)."""
     assert bits <= 60
+
+    def _voter(b: int):
+        def merge(acc, s):
+            bit = F.shiftright(md5_u60(s), b).bitwiseAND(F.lit(1))
+            return acc + F.when(bit == 1, 1).otherwise(-1)
+
+        return merge
+
     bit_cols = []
     for b in range(bits):
-        vote = F.aggregate(
-            tok,
-            F.lit(0).cast("long"),
-            lambda acc, s, b=b: acc
-            + F.when(F.shiftright(md5_u60(s), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
+        vote = F.aggregate(tok, F.lit(0).cast("long"), _voter(b))
         bit_cols.append(
             F.when(vote > 0, F.lit(2 ** b).cast("long")).otherwise(F.lit(0).cast("long"))
         )
