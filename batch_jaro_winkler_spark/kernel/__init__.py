@@ -2,7 +2,8 @@ from batch_jaro_winkler_spark.kernel.bjw import (
     CandidateModel,
     build_model,
     score,
+    score_pair,
     score_strings,
 )
 
-__all__ = ["CandidateModel", "build_model", "score", "score_strings"]
+__all__ = ["CandidateModel", "build_model", "score", "score_pair", "score_strings"]

@@ -27,8 +27,13 @@ class DedupConfig:
     simhash_bits: int = 64
     simhash_max_hamming: int = 3
     # substring/fingerprint stage
+    # mod-sampling fingerprint selection (content-defined, like CDC/rsync):
+    # a position is a fingerprint iff hash % fp_mod == 0 → density 1/fp_mod.
+    # P(missing a min_substring_chars common substring) =
+    # (1-1/fp_mod)^(min_sub-gram+1) ≈ 0.8% at the defaults — and unlike
+    # winnowing it needs no per-window argmin (one vectorized mask).
     gram_chars: int = 50             # char n-gram width for rolling hashes
-    winnow_window: int = 32          # winnowing window (fingerprint density)
+    fp_mod: int = 32                 # fingerprint sampling modulus (pow 2)
     min_substring_chars: int = 200   # verified verbatim-substring threshold
     # connected components
     cc_max_iters: int = 20

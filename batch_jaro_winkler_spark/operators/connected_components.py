@@ -71,12 +71,41 @@ def _small_star(edges: DataFrame) -> DataFrame:
     return lo_links.union(hi_links)
 
 
+def _local_union_find(pairs) -> list[tuple[int, int]]:
+    """Driver-side union-find with path compression → (node, root) rows."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    return [(x, find(x)) for x in list(parent)]
+
+
 def connected_components(
     edges: DataFrame,
     cfg: DedupConfig | None = None,
     all_nodes: DataFrame | None = None,
+    local_threshold: int = 2_000_000,
 ) -> DataFrame:
     """edges[a, b] → (doc_id, cluster_id).
+
+    Hybrid execution: the distributed star rounds exist for edge sets that
+    cannot fit one machine; when the (deduplicated) edge list is below
+    ``local_threshold`` it is collected and finished with driver-side
+    union-find in one job — the standard endgame for iterative graph
+    algorithms, avoiding 10+ scheduling rounds on a tiny remainder.
 
     ``all_nodes`` (optional, one ``doc_id`` column) adds singleton docs with
     cluster_id = doc_id, so the output is a total cluster assignment.
@@ -84,6 +113,24 @@ def connected_components(
     max_iters = (cfg or DedupConfig()).cc_max_iters
     cur = _canon(edges).localCheckpoint(eager=True)
     prev_sig = _checksum(cur)
+    spark = cur.sparkSession
+    if prev_sig[0] <= local_threshold:
+        assign_rows = _local_union_find(
+            (r["hi"], r["lo"]) for r in cur.toLocalIterator()
+        )
+        assign = spark.createDataFrame(
+            assign_rows or [(int(-1), int(-1))], "doc_id long, cluster_id long"
+        )
+        if not assign_rows:
+            assign = assign.where(F.lit(False))
+        if all_nodes is not None:
+            singletons = (
+                all_nodes.select(F.col(all_nodes.columns[0]).alias("doc_id"))
+                .join(assign.select("doc_id"), "doc_id", "left_anti")
+                .withColumn("cluster_id", F.col("doc_id"))
+            )
+            assign = assign.union(singletons)
+        return assign
     for _ in range(max_iters):
         cur = _canon(_small_star(_canon(_large_star(cur)))).localCheckpoint(eager=True)
         sig = _checksum(cur)

@@ -5,23 +5,26 @@ Catches verbatim long-substring duplication that shingle-MinHash misses
 document shares their character-level fingerprints even when the
 surrounding text makes whole-doc similarity low.
 
-Design (winnowing, Schleimer/Wilkerson/Aiken SIGMOD'03 — PAPERS.md):
+Design (content-defined sampling, the rsync/CDC family; cf. winnowing,
+Schleimer/Wilkerson/Aiken SIGMOD'03 — PAPERS.md):
 
 * per doc, Rabin-Karp rolling hashes of every ``gram_chars``-char window of
-  the normalized text — O(n) via the rolling recurrence, vectorized in
-  numpy inside ``mapInPandas`` (no shuffle);
-* winnowing picks the minimum hash in every ``winnow_window``-wide window
-  of positions → fingerprint density 2/(w+1), position-robust;
+  the normalized text — O(n) via a fully vectorized modular-inverse
+  prefix trick inside ``mapInPandas`` (no shuffle);
+* mod-sampling keeps positions with ``hash % fp_mod == 0`` → density
+  1/fp_mod, position-robust and content-deterministic (both copies of a
+  substring select the same grams); a >=200-char verbatim overlap is
+  missed with probability (1-1/fp_mod)^151 ≈ 0.8%;
 * shuffle only (fingerprint, doc_id, pos): groupBy fingerprint → candidate
-  pairs (same capped policy as LSH);
-* verify: join texts, extend the seed match around the fingerprinted
-  offsets in pandas, keep pairs whose true common substring reaches
+  pairs (same capped two-path policy as LSH);
+* verify: broadcast-join bounded text slices around the seed offsets,
+  vectorized first-mismatch extension in pandas, keep pairs reaching
   ``min_substring_chars``.
 
 This replaces a distributed suffix array: equivalent detection power for
 fixed-length-seed verbatim duplication at a fraction of the shuffle cost
-(a suffix array would shuffle every suffix; winnowing ships 2/(w+1) of the
-positions).
+(a suffix array would shuffle every suffix; sampling ships 1/fp_mod of the
+positions, and only id+hash+offset — never the text).
 """
 
 from __future__ import annotations
@@ -32,7 +35,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
-from batch_jaro_winkler_spark.functions.text import normalize_text
+from batch_jaro_winkler_spark.functions.text import normalize_pandas
 from batch_jaro_winkler_spark.operators.config import DedupConfig
 
 __all__ = ["fingerprints", "fingerprint_pairs", "substring_edges"]
@@ -71,30 +74,41 @@ def _rolling_hashes(codes: np.ndarray, k: int) -> np.ndarray:
 
 
 def fingerprints(
-    docs: DataFrame, cfg: DedupConfig, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pre_normalized: bool = False,
 ) -> DataFrame:
-    """→ (doc_id, fp, pos): winnowed fingerprints with char offsets."""
+    """→ (doc_id, fp, pos): winnowed fingerprints with char offsets into the
+    normalized text."""
     k = cfg.gram_chars
-    w = cfg.winnow_window
+    mask = np.uint64(cfg.fp_mod - 1)
     prepped = docs.select(
         F.col(id_col).cast("long").alias("doc_id"),
-        normalize_text(F.col(text_col)).alias("norm"),
+        F.col(text_col).alias("norm"),
     )
 
     def fp(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if not pre_normalized:
+                pdf = pdf.assign(norm=normalize_pandas(pdf["norm"]))
             out_id, out_fp, out_pos = [], [], []
             for doc_id, norm in zip(pdf["doc_id"], pdf["norm"]):
                 codes = np.frombuffer(norm.encode("utf-32-le"), dtype="<u4")
                 h = _rolling_hashes(codes, k)
                 if len(h) == 0:
                     continue
-                if len(h) <= w:
+                sel = np.flatnonzero((h & mask) == np.uint64(0))
+                if len(sel) == 0:
+                    # guarantee >=1 fingerprint per doc (whole-doc dups of
+                    # short texts must still collide)
                     sel = np.array([int(np.argmin(h))])
                 else:
-                    # winnowing: min position of each w-window, deduped
-                    win = np.lib.stride_tricks.sliding_window_view(h, w)
-                    sel = np.unique(win.argmin(axis=1) + np.arange(len(h) - w + 1))
+                    # one row per distinct (fp, doc): earliest occurrence —
+                    # keeps the downstream shuffle (fp, doc, pos)-unique
+                    _, first = np.unique(h[sel], return_index=True)
+                    sel = sel[np.sort(first)]
                 out_id.append(np.full(len(sel), doc_id, dtype=np.int64))
                 out_fp.append(h[sel].view(np.int64))
                 out_pos.append(sel.astype(np.int32))
@@ -112,32 +126,54 @@ def fingerprints(
 
 def fingerprint_pairs(fps: DataFrame, cfg: DedupConfig) -> DataFrame:
     """fingerprints → candidate (a, b, pos_a, pos_b): docs sharing a
-    fingerprint, capped per bucket like LSH pair-gen."""
+    fingerprint.  Same two-path policy as LSH pair-gen: normal
+    fingerprints pair via a JVM self-equi-join; hot fingerprints
+    (boilerplate shared by thousands of docs) chain neighbors linearly
+    through a grouped-map touching only those few groups."""
     cap = cfg.allpairs_cap
+    # fps rows are (fp, doc)-unique by construction, so the ONLY wide
+    # shuffle here is the fp-count aggregate (map-side partial agg, 16-byte
+    # rows).  The overwhelmingly-singleton fingerprints are dropped BEFORE
+    # any join: `dup_counts` is proportional to actual duplication, so the
+    # members-of-duplicated-fps relation is small and the join broadcasts.
+    dup_counts = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_members"))
+        .where(F.col("n_members") >= 2)
+    )
+    # AQE picks broadcast vs shuffle join by the runtime size of dup_counts
+    sized = fps.join(dup_counts, "fp").localCheckpoint(eager=False)
+
+    small = sized.where(F.col("n_members") <= cap)
+    left = small.select(
+        "fp", F.col("doc_id").alias("a"), F.col("pos").alias("pos_a")
+    )
+    right = small.select(
+        "fp", F.col("doc_id").alias("b"), F.col("pos").alias("pos_b")
+    )
+    small_pairs = left.join(right, "fp").where(F.col("a") < F.col("b")).select(
+        "a", "b", "pos_a", "pos_b"
+    )
+
+    hot = sized.where(F.col("n_members") > cap)
 
     def gen(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.drop_duplicates("doc_id").sort_values("doc_id")
-        n = len(pdf)
-        if n < 2:
+        pdf = pdf.sort_values("doc_id")
+        ids = pdf["doc_id"].to_numpy(np.int64)
+        pos = pdf["pos"].to_numpy(np.int32)
+        if len(ids) < 2:
             return pd.DataFrame(
                 {"a": [], "b": [], "pos_a": [], "pos_b": []}
             ).astype({"a": np.int64, "b": np.int64, "pos_a": np.int32, "pos_b": np.int32})
-        if n > cap:  # hot fingerprint (boilerplate): chain neighbors
-            ids = pdf["doc_id"].to_numpy(np.int64)
-            pos = pdf["pos"].to_numpy(np.int32)
-            return pd.DataFrame(
-                {"a": ids[:-1], "b": ids[1:], "pos_a": pos[:-1], "pos_b": pos[1:]}
-            )
-        ids = pdf["doc_id"].to_numpy(np.int64)
-        pos = pdf["pos"].to_numpy(np.int32)
-        ai, bi = np.triu_indices(n, k=1)
         return pd.DataFrame(
-            {"a": ids[ai], "b": ids[bi], "pos_a": pos[ai], "pos_b": pos[bi]}
+            {"a": ids[:-1], "b": ids[1:], "pos_a": pos[:-1], "pos_b": pos[1:]}
         )
 
-    pairs = fps.groupBy("fp").applyInPandas(
+    hot_pairs = hot.groupBy("fp").applyInPandas(
         gen, schema="a long, b long, pos_a int, pos_b int"
     )
+
+    pairs = small_pairs.union(hot_pairs)
     # keep one seed offset pair per (a,b) — the earliest
     return pairs.groupBy("a", "b").agg(
         F.min(F.struct("pos_a", "pos_b")).alias("seed")
@@ -145,41 +181,105 @@ def fingerprint_pairs(fps: DataFrame, cfg: DedupConfig) -> DataFrame:
 
 
 def substring_edges(
-    docs: DataFrame, cfg: DedupConfig, id_col: str = "doc_id", text_col: str = "text"
+    docs: DataFrame,
+    cfg: DedupConfig,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pre_normalized: bool = False,
 ) -> DataFrame:
     """End-to-end substring stage → verified edges (a, b, match_len) where a
     verbatim common substring of >= cfg.min_substring_chars normalized chars
     exists around a shared fingerprint."""
-    fps = fingerprints(docs, cfg, id_col, text_col)
+    fps = fingerprints(docs, cfg, id_col, text_col, pre_normalized)
     cand = fingerprint_pairs(fps, cfg)
-    norm = docs.select(
-        F.col(id_col).cast("long").alias("doc_id"),
-        normalize_text(F.col(text_col)).alias("norm"),
-    )
-    ta = norm.select(F.col("doc_id").alias("a"), F.col("norm").alias("norm_a"))
-    tb = norm.select(F.col("doc_id").alias("b"), F.col("norm").alias("norm_b"))
-    joined = cand.join(ta, "a").join(tb, "b")
     k = cfg.gram_chars
     min_len = cfg.min_substring_chars
+    # verification decides `common substring >= min_len`, so each side only
+    # needs min_len chars of context around its seed offset — ship bounded
+    # slices through BROADCAST joins instead of shuffling full documents
+    # (at web scale the pair list is millions of rows; the documents are
+    # hundreds of TB — never shuffle the big side for a verify)
+    cap = min_len + k
+    if pre_normalized:
+        norm = docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("norm"),
+        )
+    else:
+        from collections.abc import Iterator as _It
+
+        raw = docs.select(
+            F.col(id_col).cast("long").alias("doc_id"),
+            F.col(text_col).alias("norm"),
+        )
+
+        def _norm(batches):
+            for pdf in batches:
+                yield pdf.assign(norm=normalize_pandas(pdf["norm"]))
+
+        norm = raw.mapInPandas(_norm, schema="doc_id long, norm string")
+    cand = cand.localCheckpoint(eager=False)
+    # slice side a: broadcast the (a, pos_a) keys over the documents scan,
+    # keep [pos_a - cap, pos_a + cap + k) plus the local seed offset
+    start_a = F.greatest(F.col("pos_a") - cap, F.lit(0))
+    with_a = (
+        norm.join(
+            cand.select("a", "pos_a", "b", "pos_b"),
+            norm.doc_id == F.col("a"),
+        )
+        .select(
+            "a",
+            "b",
+            "pos_b",
+            F.substring(
+                F.col("norm"), start_a + 1, F.lit(2 * cap + k)
+            ).alias("slice_a"),
+            (F.col("pos_a") - start_a).alias("loc_a"),
+        )
+    )
+    start_b = F.greatest(F.col("pos_b") - cap, F.lit(0))
+    joined = (
+        norm.join(with_a, norm.doc_id == F.col("b"))
+        .select(
+            "a",
+            "b",
+            "slice_a",
+            "loc_a",
+            F.substring(
+                F.col("norm"), start_b + 1, F.lit(2 * cap + k)
+            ).alias("slice_b"),
+            (F.col("pos_b") - start_b).alias("loc_b"),
+        )
+    )
+
+    def _extend(sa: np.ndarray, sb: np.ndarray, pa: int, pb: int) -> int:
+        """Length of the common substring around the aligned seed at
+        (pa, pb) — vectorized first-mismatch search on code-point arrays."""
+        back = min(pa, pb)
+        if back:
+            neq = sa[pa - back : pa][::-1] != sb[pb - back : pb][::-1]
+            lo = int(np.argmax(neq)) if neq.any() else back
+        else:
+            lo = 0
+        fwd = min(len(sa) - pa, len(sb) - pb)
+        if fwd:
+            neq = sa[pa : pa + fwd] != sb[pb : pb + fwd]
+            hi = int(np.argmax(neq)) if neq.any() else fwd
+        else:
+            hi = 0
+        return lo + hi
 
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = {"a": [], "b": [], "match_len": []}
             for r in pdf.itertuples(index=False):
-                sa, sb = r.norm_a, r.norm_b
-                pa, pb = int(r.pos_a), int(r.pos_b)
-                if sa[pa : pa + k] != sb[pb : pb + k]:
-                    continue  # hash collision
-                lo = 0
-                while pa - lo > 0 and pb - lo > 0 and sa[pa - lo - 1] == sb[pb - lo - 1]:
-                    lo += 1
-                hi = k
-                while (
-                    pa + hi < len(sa) and pb + hi < len(sb) and sa[pa + hi] == sb[pb + hi]
+                sa = np.frombuffer(r.slice_a.encode("utf-32-le"), dtype="<u4")
+                sb = np.frombuffer(r.slice_b.encode("utf-32-le"), dtype="<u4")
+                pa, pb = int(r.loc_a), int(r.loc_b)
+                total = _extend(sa, sb, pa, pb)
+                if total >= min_len and np.array_equal(
+                    sa[pa : pa + k], sb[pb : pb + k]
                 ):
-                    hi += 1
-                total = lo + hi
-                if total >= min_len:
                     rows["a"].append(r.a)
                     rows["b"].append(r.b)
                     rows["match_len"].append(total)

@@ -44,7 +44,7 @@ def band_buckets(signatures: DataFrame) -> DataFrame:
         signatures.where(F.col("n_tokens") > 0)
         .select(
             "doc_id",
-            F.col("minhash").getItem(0).alias("sort_key"),
+            "sort_key",
             F.posexplode("band_hashes").alias("band_id", "band_hash"),
         )
         .select("band_id", "band_hash", "doc_id", "sort_key")
@@ -54,37 +54,64 @@ def band_buckets(signatures: DataFrame) -> DataFrame:
 def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
     """buckets → distinct (a, b, n_bands) with a < b.
 
-    Grouped-map over each (band_id, band_hash) bucket with the capped
-    pair-gen policy; then a groupBy(a,b) both dedups across bands and
-    counts band agreement.
+    Two-path pair generation sized for web-scale bucket skew:
+
+    * buckets with 2..allpairs_cap members (the overwhelming majority) pair
+      via a JVM self-equi-join on the bucket key — whole-stage codegen, no
+      Python; output is quadratic per bucket but bounded by the cap;
+    * hot buckets (> cap; power-law tail) go through a grouped-map that
+      sorts members by a signature-derived key and chains each to its next
+      ``neighbor_window`` neighbors — linear in bucket size, preserving
+      bucket connectivity for connected components.
+
+    A final groupBy(a, b) dedups across bands and counts band agreement
+    (map-side partial aggregation).
     """
     cap = cfg.allpairs_cap
     window = cfg.neighbor_window
 
+    # the dominant wide shuffle is the bucket-count aggregate (map-side
+    # partial agg over small rows); singleton buckets — the overwhelming
+    # majority — are dropped BEFORE any join, so the members-of-shared-
+    # buckets relation is proportional to actual duplication.  AQE picks
+    # broadcast when that side is small and shuffle-join when it isn't.
+    counts = buckets.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("n_members")
+    ).where(F.col("n_members") >= 2)
+    sized = buckets.join(
+        counts, ["band_id", "band_hash"]
+    ).localCheckpoint(eager=False)
+
+    small = sized.where(F.col("n_members") <= cap)
+    left = small.select("band_id", "band_hash", F.col("doc_id").alias("a"))
+    right = small.select("band_id", "band_hash", F.col("doc_id").alias("b"))
+    small_pairs = left.join(right, ["band_id", "band_hash"]).where(
+        F.col("a") < F.col("b")
+    ).select("a", "b")
+
+    hot = sized.where(F.col("n_members") > cap)
+
     def gen(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        ids = np.sort(pdf["doc_id"].to_numpy(np.int64))
-        n = len(ids)
-        if n < 2:
-            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
-        if n <= cap:
-            ai, bi = np.triu_indices(n, k=1)
-            return pd.DataFrame({"a": ids[ai], "b": ids[bi]})
-        # hot bucket: sort by signature-derived key so near-identical docs
-        # are adjacent, then chain each doc to its next `window` neighbors
-        order = np.lexsort((pdf["doc_id"].to_numpy(np.int64), pdf["sort_key"].to_numpy(np.int64)))
+        order = np.lexsort(
+            (pdf["doc_id"].to_numpy(np.int64), pdf["sort_key"].to_numpy(np.int64))
+        )
         ids = pdf["doc_id"].to_numpy(np.int64)[order]
         chunks_a, chunks_b = [], []
         for w in range(1, window + 1):
-            chunks_a.append(ids[:-w])
-            chunks_b.append(ids[w:])
+            if len(ids) > w:
+                chunks_a.append(ids[:-w])
+                chunks_b.append(ids[w:])
+        if not chunks_a:
+            return pd.DataFrame({"a": [], "b": []}).astype(np.int64)
         a = np.concatenate(chunks_a)
         b = np.concatenate(chunks_b)
-        lo = np.minimum(a, b)
-        hi = np.maximum(a, b)
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
         keep = lo != hi
         return pd.DataFrame({"a": lo[keep], "b": hi[keep]})
 
-    pairs = buckets.groupBy("band_id", "band_hash").applyInPandas(
+    hot_pairs = hot.groupBy("band_id", "band_hash").applyInPandas(
         gen, schema="a long, b long"
     )
+
+    pairs = small_pairs.union(hot_pairs)
     return pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_bands"))

@@ -30,7 +30,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-from batch_jaro_winkler_spark.kernel import build_model, score
+from batch_jaro_winkler_spark.kernel import build_model, score, score_pair
 from batch_jaro_winkler_spark.operators.config import DedupConfig
 
 __all__ = ["verify_pairs", "score_topk"]
@@ -67,23 +67,53 @@ def verify_pairs(
     weight = cfg.jw_weight
     threshold = cfg.jw_threshold
 
-    def score_group(key, pdf: pd.DataFrame) -> pd.DataFrame:
-        inp = pdf["text_a"].iloc[0]
-        model = build_model(pdf["text_b"].tolist())
-        idx, sc = score(
-            model, inp, min_score=min_score, weight=weight, threshold=threshold
-        )
-        rows = pdf.iloc[np.asarray(idx, dtype=np.int64)]
-        return pd.DataFrame(
-            {
-                "a": rows["a"].to_numpy(np.int64),
-                "b": rows["b"].to_numpy(np.int64),
-                "score": np.asarray(sc, dtype=np.float32),
-            }
-        )
+    # No shuffle: each Arrow batch is grouped locally by the left text, one
+    # compiled kernel model per local group.  Pairs are independent, so any
+    # physical distribution is correct — grouping only amortizes the model.
+    # groups below this size use the scalar pair scorer — the vectorized
+    # kernel's per-char numpy ops only pay off with enough candidates
+    batch_cutover = 8
 
-    return joined.groupBy("a").applyInPandas(
-        score_group, schema="a long, b long, score float"
+    def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_a, out_b, out_s = [], [], []
+            for inp, grp in pdf.groupby("text_a", sort=False):
+                if len(grp) < batch_cutover:
+                    ss = np.fromiter(
+                        (
+                            score_pair(inp, tb, weight=weight, threshold=threshold)
+                            for tb in grp["text_b"]
+                        ),
+                        dtype=np.float32,
+                        count=len(grp),
+                    )
+                    keep = ss >= np.float32(min_score)
+                    if not keep.any():
+                        continue
+                    rows = grp.iloc[np.flatnonzero(keep)]
+                    sc = ss[keep]
+                else:
+                    model = build_model(grp["text_b"].tolist())
+                    idx, sc = score(
+                        model, inp, min_score=min_score, weight=weight, threshold=threshold
+                    )
+                    if len(idx) == 0:
+                        continue
+                    rows = grp.iloc[np.asarray(idx, dtype=np.int64)]
+                out_a.append(rows["a"].to_numpy(np.int64))
+                out_b.append(rows["b"].to_numpy(np.int64))
+                out_s.append(np.asarray(sc, dtype=np.float32))
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "a": np.concatenate(out_a),
+                        "b": np.concatenate(out_b),
+                        "score": np.concatenate(out_s),
+                    }
+                )
+
+    return joined.select("a", "b", "text_a", "text_b").mapInPandas(
+        score_batches, schema="a long, b long, score float"
     )
 
 

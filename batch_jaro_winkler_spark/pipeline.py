@@ -82,9 +82,33 @@ class DedupPipeline:
         """docs[id_col, text_col, ...] → (doc_id, cluster_id) total assignment."""
         cfg = self.cfg
         docs = docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text"))
+        # fan the map stages out to cluster width: small local inputs arrive
+        # as one split; at web scale the source is already thousands of
+        # partitions and this coalesces nothing (cheap round-robin shuffle)
+        parallelism = self.spark.sparkContext.defaultParallelism
+        if docs.rdd.getNumPartitions() < parallelism:
+            docs = docs.repartition(parallelism)
+
+        # normalize ONCE (pandas regex — far faster than java.util.regex)
+        # and checkpoint; every downstream stage consumes `norm`
+        def _normalize():
+            from batch_jaro_winkler_spark.functions.text import normalize_pandas
+
+            def go(batches):
+                for pdf in batches:
+                    yield pdf.assign(norm=normalize_pandas(pdf["text"]))[
+                        ["doc_id", "norm"]
+                    ]
+
+            return docs.mapInPandas(go, schema="doc_id long, norm string")
+
+        norm_docs = self._stage("normalized", _normalize)
 
         signatures = self._stage(
-            "signatures", lambda: compute_signatures(docs, cfg, "doc_id", "text")
+            "signatures",
+            lambda: compute_signatures(
+                norm_docs, cfg, "doc_id", "norm", pre_normalized=True
+            ),
         )
         pairs = self._stage(
             "cand_pairs", lambda: candidate_pairs(band_buckets(signatures), cfg)
@@ -98,7 +122,9 @@ class DedupPipeline:
         if with_substring_stage:
             sub_edges = self._stage(
                 "sub_edges",
-                lambda: substring_edges(docs, cfg, "doc_id", "text").select("a", "b"),
+                lambda: substring_edges(
+                    norm_docs, cfg, "doc_id", "norm", pre_normalized=True
+                ).select("a", "b"),
             )
             edges = jw_edges.select("a", "b").union(sub_edges.select("a", "b"))
         else:

@@ -74,7 +74,13 @@ class Catalog:
         t0 = time.time()
         table_dir = self._dir(name)
         tmp = os.path.join(self.root, f"_tmp_{name}_{uuid.uuid4().hex[:8]}")
-        df.write.mode("overwrite").parquet(os.path.join(tmp, "data"))
+        # small row groups so read-back splits parallelize: one file with a
+        # single giant row group serializes every downstream scan task
+        (
+            df.write.mode("overwrite")
+            .option("parquet.block.size", 8 * 1024 * 1024)
+            .parquet(os.path.join(tmp, "data"))
+        )
         back = self.spark.read.parquet(os.path.join(tmp, "data"))
         n_rows = back.count()
         n_files = len(

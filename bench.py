@@ -1,0 +1,166 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract: prints ONE JSON line to stdout).
+
+Headline: end-to-end near-dup pipeline wall time + docs/sec on the
+``documents`` table at $SPARK_GRAFT_SF_DIR (default sf0.1), plus per-query
+timings for the other operator families.
+
+Scaling evidence for the north_rule's two-cluster-size criterion (no real
+multi-node cluster exists in this sandbox): the identical pipeline job runs
+at local[2] (N) and local[8] (4N) — each in a FRESH process/JVM — on the
+same cached 300k-doc corpus (FIXTURES.md F6 generator, seed 123), and the
+JSON carries throughput at both plus
+efficiency = (T_small/T_big) / (cores_big/cores_small).
+Set SPARK_GRAFT_SKIP_SCALING=1 to skip those runs.
+
+Why N=2: /proc/stat shows heavy hypervisor steal on this sandbox — a pure
+CPU burn test scales perfectly 1->8 processes (8.0x) but only 1.7x from
+8->32, i.e. the host delivers ~13 real cores despite nproc=32.  local[32]
+legs therefore oversubscribe stolen cores and measure the hypervisor, not
+the engine.  2->8 stays inside the honestly-available CPU envelope;
+BASELINE.md records the burn-test evidence.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, ".bench_cache")
+SCALING_ROWS = 300_000
+SCALING_SEED = 123
+
+_LEG_SCRIPT = """
+import json, sys, time, tempfile
+from batch_jaro_winkler_spark.session import get_spark
+from batch_jaro_winkler_spark.operators.config import DedupConfig
+from batch_jaro_winkler_spark.pipeline import DedupPipeline
+cores = int(sys.argv[1]); path = sys.argv[2]
+spark = get_spark(f"bjws-scaling-{cores}", cores=cores, shuffle_partitions=max(cores, 8))
+docs = spark.read.parquet(path)
+n = docs.count()
+t0 = time.time()
+pipe = DedupPipeline(spark, DedupConfig(), tempfile.mkdtemp(prefix="bjws_scale_"))
+pipe.run(docs, "doc_id", "text").count()
+sec = time.time() - t0
+print("LEGRESULT " + json.dumps({"cores": cores, "sec": round(sec, 3), "n": n}))
+"""
+
+
+def _scaling_corpus() -> str:
+    path = os.path.join(CACHE, f"corpus{SCALING_ROWS}.parquet")
+    if os.path.exists(path):
+        return path
+    os.makedirs(CACHE, exist_ok=True)
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from batch_jaro_winkler_spark.fixtures import make_corpus
+
+    corpus = make_corpus(n_rows=SCALING_ROWS, seed=SCALING_SEED)
+    pdf = pd.DataFrame(
+        {"doc_id": range(len(corpus.rows)), "text": [r["text"] for r in corpus.rows]}
+    )
+    pq.write_table(pa.Table.from_pandas(pdf), path, row_group_size=10_000)
+    return path
+
+
+def _run_leg(cores: int, path: str) -> dict | None:
+    p = subprocess.run(
+        [sys.executable, "-c", _LEG_SCRIPT, str(cores), path],
+        capture_output=True,
+        text=True,
+        cwd=REPO,
+    )
+    for line in p.stdout.splitlines():
+        if line.startswith("LEGRESULT "):
+            return json.loads(line[len("LEGRESULT ") :])
+    return None
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    try:
+        sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        sf = 0.1
+
+    import tempfile
+
+    import __spark_entry__ as entry_mod
+    from batch_jaro_winkler_spark.operators.config import DedupConfig
+    from batch_jaro_winkler_spark.pipeline import DedupPipeline
+    from batch_jaro_winkler_spark.session import get_spark
+
+    spark = get_spark("bjws-bench", cores=cpus, shuffle_partitions=max(cpus, 8))
+    queries: dict[str, float] = {}
+
+    # headline: end-to-end dedup pipeline at the driver's SF
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_docs = docs.count()
+    t0 = time.time()
+    pipe = DedupPipeline(spark, DedupConfig(), tempfile.mkdtemp(prefix="bjws_bench_"))
+    pipe.run(docs, "doc_id", "text").count()
+    pipe_sec = time.time() - t0
+    queries["dedup_pipeline"] = round(pipe_sec, 3)
+
+    # operator-family queries (same callables the correctness gate runs;
+    # the md5-minhash SQL variant is an oracle-only query — its cost is
+    # md5-in-SQL, not a pipeline capability — so it stays out of bench)
+    q = entry_mod.queries()
+    for name in [
+        "rel_q1",
+        "jw_topk",
+        "jw_pairs",
+        "dedup_exact",
+        "pipeline_lsh_pairs",
+        "pipeline_simhash_pairs",
+        "ann_cosine_topk",
+        "events_sessions",
+        "text_quality",
+    ]:
+        t0 = time.time()
+        q[name](spark, sf_dir).count()
+        queries[name] = round(time.time() - t0, 3)
+
+    result = {
+        "metric": "end_to_end_dedup_pipeline",
+        "value": round(pipe_sec, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "n_docs": n_docs,
+        "docs_per_sec": round(n_docs / pipe_sec, 2),
+        "cores": cpus,
+    }
+
+    if os.environ.get("SPARK_GRAFT_SKIP_SCALING") != "1":
+        spark.stop()
+        path = _scaling_corpus()
+        small = _run_leg(2, path)
+        big = _run_leg(8, path)
+        if small and big:
+            eff = (small["sec"] / big["sec"]) / (8 / 2)
+            result["scaling"] = {
+                "corpus_rows": SCALING_ROWS,
+                "cores_small": 2,
+                "cores_big": 8,
+                "sec_small": small["sec"],
+                "sec_big": big["sec"],
+                "docs_per_sec_small": round(SCALING_ROWS / small["sec"], 2),
+                "docs_per_sec_big": round(SCALING_ROWS / big["sec"], 2),
+                "speedup": round(small["sec"] / big["sec"], 3),
+                "efficiency": round(eff, 3),
+            }
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -275,3 +275,22 @@ def test_model_reuse_across_queries():
 def test_float32_dtype():
     _, sc = score(build_model(["lolz"]), "hélloz", weight=None, threshold=None)
     assert sc.dtype == np.float32
+
+
+def test_score_pair_parity_with_batch_kernel():
+    """score_pair must agree with the batch kernel bit-for-bit (float32)."""
+    import random
+
+    from batch_jaro_winkler_spark.kernel import score_pair
+    from batch_jaro_winkler_spark.fixtures import make_wordlist
+
+    words = make_wordlist(n_ascii=300, n_cjk=50, seed=3)
+    rng = random.Random(3)
+    cases = [(rng.choice(words), rng.choice(words)) for _ in range(500)]
+    cases += [(w, w) for w in words[:20]] + [("", "x"), ("x", ""), ("", "")]
+    for weight, threshold in [(0.1, 0.7), (None, None), (0.25, 0.0)]:
+        for a, b in cases:
+            got = score_pair(a, b, weight=weight, threshold=threshold)
+            res = score_strings([b], a, weight=weight, threshold=threshold)
+            exp = res[0][1] if res else 0.0
+            assert got == exp, (a, b, weight, got, exp)
