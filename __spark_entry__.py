@@ -337,6 +337,36 @@ def _mm_binary_meta(spark, sf_dir):
     )
 
 
+def _dedup_embedding(spark, sf_dir):
+    """Embedding-cosine near-dup pairs: all (a, b) with cosine >= 0.4 over
+    the embeddings table (the sf0.01 table has no true near-dups, so the
+    threshold sits in the distribution tail to exercise the operator)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
+    pairs = a.join(b, F.col("a") < F.col("b"))
+    return pairs.select(
+        "a", "b", F.round(V.cosine(F.col("va"), F.col("vb")), 5).alias("cos_r")
+    ).where(F.col("cos_r") >= 0.4)
+
+
+def _mm_decode_features(spark, sf_dir):
+    """Multimodal decode plumbing (stubbed decoder, real schema/batching —
+    rows-only check): documents' bytes through sniff → batched decode →
+    (doc_id, mime, feature dim, first feature)."""
+    from batch_jaro_winkler_spark.multimodal import decode_features
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    feats = decode_features(payloads, "payload", "doc_id")
+    return feats.select(
+        "doc_id",
+        "mime",
+        F.size("features").alias("dim"),
+        F.round(F.col("features").getItem(0), 5).alias("feat0_r"),
+    )
+
+
 def _pipeline_lsh_pairs(spark, sf_dir):
     """The REAL scale-path candidate generator (128-perm multiply-shift
     MinHash + FNV band fold + capped pair-gen).  Not SQL-expressible →
@@ -385,8 +415,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _doc_fingerprint,
         # similarity search / events / multimodal
         "ann_cosine_topk": _ann_cosine_topk,
+        "dedup_embedding": _dedup_embedding,
         "events_sessions": _events_sessions,
         "mm_binary_meta": _mm_binary_meta,
+        "mm_decode_features": _mm_decode_features,
         # scale-path operators (rows-only checks; pytest owns correctness)
         "pipeline_lsh_pairs": _pipeline_lsh_pairs,
         "pipeline_simhash_pairs": _pipeline_simhash_pairs,
@@ -550,6 +582,13 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY probe_id
                                            ORDER BY cos_r DESC, vec_id ASC) AS rank
               FROM scored) WHERE rank <= 10
+        """,
+        "dedup_embedding": f"""
+            WITH e AS (SELECT vec_id, embedding FROM embeddings)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round({V.cosine_sql('a.embedding', 'b.embedding')}, 5) AS cos_r
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round({V.cosine_sql('a.embedding', 'b.embedding')}, 5) >= 0.4
         """,
         "events_sessions": """
             WITH marked AS (

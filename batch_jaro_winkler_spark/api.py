@@ -50,7 +50,10 @@ def build_exportable_model(candidates, nb_runtime_threads: int = 1) -> bytes:
 
 
 def build_runtime_model(exportable_model: bytes) -> CandidateModel:
-    model = pickle.loads(exportable_model)
+    try:
+        model = pickle.loads(exportable_model)
+    except Exception as exc:
+        raise ValueError("not an exportable model") from exc
     if not isinstance(model, CandidateModel):
         raise ValueError("not an exportable model")
     return model

@@ -1,0 +1,134 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+A 100 TB training-data pipeline carries images/audio/video as ``binary``
+columns next to text.  This module implements the Spark-side plumbing —
+schema, magic-byte sniffing, batched decode dispatch, partition-friendly
+UDF shapes — for real; the media decoders themselves are STUBS (the
+sandbox has no image/audio libraries), clearly marked and swappable:
+``register_decoder("image/png", fn)`` drops in a real decoder without
+touching the plumbing.
+
+Everything metadata-level (byte length, sniffed mime, sha-based content
+id) is built-in-function or vectorized work; only decode crosses into
+Python, batched via ``mapInPandas``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+__all__ = [
+    "MAGIC_BYTES",
+    "sniff_mime",
+    "binary_meta",
+    "register_decoder",
+    "decode_features",
+]
+
+# magic-byte prefixes → mime (hex-encoded prefix, JVM-side comparable)
+MAGIC_BYTES = [
+    ("89504E47", "image/png"),
+    ("FFD8FF", "image/jpeg"),
+    ("47494638", "image/gif"),
+    ("52494646", "audio/wav-or-avi"),  # RIFF container
+    ("494433", "audio/mpeg"),
+    ("1A45DFA3", "video/webm"),
+    ("3C68746D6C", "text/html"),
+    ("3C21646F63", "text/html"),  # "<!doc"
+]
+
+
+def sniff_mime(payload: F.Column) -> F.Column:
+    """Magic-byte mime sniff as a pure Column expression (codegen'd)."""
+    head = F.upper(F.hex(F.substring(payload, 1, 8)))
+    expr = F.lit("application/octet-stream")
+    for prefix, mime in reversed(MAGIC_BYTES):
+        expr = F.when(head.startswith(prefix.upper()), F.lit(mime)).otherwise(expr)
+    return expr
+
+
+def binary_meta(
+    df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
+) -> DataFrame:
+    """→ (id, n_bytes, mime, content_id): typed metadata for an opaque
+    binary column, entirely JVM-side.  ``content_id`` (sha2 of bytes) is
+    the exact-dedup key for media, mirroring text exact-dedup."""
+    p = F.col(payload_col)
+    return df.select(
+        F.col(id_col),
+        F.length(p).alias("n_bytes"),
+        sniff_mime(p).alias("mime"),
+        F.sha2(p, 256).alias("content_id"),
+    )
+
+
+# decoder registry: mime → fn(list[bytes]) -> np.ndarray[(n, dim) float32]
+_DECODERS: dict[str, Callable] = {}
+
+
+def register_decoder(mime: str, fn: Callable) -> None:
+    _DECODERS[mime] = fn
+
+
+def _stub_decoder(payloads: list) -> np.ndarray:
+    """STUB decode: the sandbox ships no media libraries, so this produces
+    a deterministic content-derived pseudo-feature (sha-seeded) with the
+    REAL output contract: (n, dim) float32.  Swap via register_decoder.
+    Raises for empty payloads like a real decoder would."""
+    import hashlib
+
+    dim = 16
+    out = np.empty((len(payloads), dim), dtype=np.float32)
+    for i, b in enumerate(payloads):
+        if not b:
+            raise ValueError("cannot decode empty payload")
+        digest = hashlib.sha256(b).digest()
+        out[i] = np.frombuffer(digest[: dim * 2], dtype=np.uint16).astype(
+            np.float32
+        ) / np.float32(65535.0)
+    return out
+
+
+def decode_features(
+    df: DataFrame,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+    batch_mime: str | None = None,
+) -> DataFrame:
+    """→ (id, mime, features array<float>, decode_error string).
+
+    Batched decode over ``mapInPandas``: rows are grouped by sniffed mime
+    inside each Arrow batch and dispatched to the registered decoder (the
+    stub unless a real one is registered).  Decode failures land in
+    ``decode_error`` instead of failing the job — at 10^12 rows some
+    payloads are always corrupt."""
+    metad = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(payload_col).alias("payload"),
+        sniff_mime(F.col(payload_col)).alias("mime"),
+    )
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mime, grp in pdf.groupby("mime", sort=False):
+                fn = _DECODERS.get(batch_mime or mime, _stub_decoder)
+                try:
+                    feats = fn(list(grp["payload"]))
+                    for doc_id, f in zip(grp["doc_id"], feats):
+                        rows.append((doc_id, mime, f.tolist(), None))
+                except Exception as exc:  # keep the job alive per-batch
+                    for doc_id in grp["doc_id"]:
+                        rows.append((doc_id, mime, None, str(exc)[:200]))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "mime", "features", "decode_error"]
+            )
+
+    return metad.mapInPandas(
+        decode,
+        schema="doc_id long, mime string, features array<float>, decode_error string",
+    )

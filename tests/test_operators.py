@@ -1,0 +1,257 @@
+"""Operator-level tests: reference API surface, exact dedup, SimHash pairs,
+ANN (brute vs LSH), multimodal plumbing, streaming faces, catalog
+atomicity/resume semantics."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from batch_jaro_winkler_spark import api
+from batch_jaro_winkler_spark.operators.config import DedupConfig
+
+
+# --- reference 6-function API surface (SURVEY.md §2.3) ---
+
+
+def test_api_roundtrip_and_semantics():
+    model_bytes = api.build_exportable_model(["hélloz", "中国", "lolz", "hii"])
+    assert isinstance(model_bytes, bytes)  # storable anywhere, like the reference
+    rt = api.build_runtime_model(model_bytes)
+    res = sorted(api.jaro_distance(rt, "hélloz"))
+    assert res == [("hii", 0.5), ("hélloz", 1.0), ("lolz", 0.75), ("中国", 0.0)]
+    jw = dict(api.jaro_winkler_distance(rt, "hélloz", min_score=0.7))
+    assert jw["hélloz"] == 1.0 and "中国" not in jw
+
+
+def test_api_per_candidate_min_scores_and_validation():
+    mb = api.build_exportable_model(
+        [
+            {"candidate": "lolz", "min_score": 0.750001},
+            {"candidate": "hii", "min_score": 0.5},
+        ]
+    )
+    rt = api.build_runtime_model(mb)
+    assert sorted(api.jaro_distance(rt, "hélloz")) == [("hii", 0.5)]
+    with pytest.raises(ValueError):
+        api.build_exportable_model([{"candidate": "a", "min_score": 0.5}, "b"])
+    with pytest.raises(ValueError):
+        api.build_exportable_model(["a"], nb_runtime_threads=0)
+    with pytest.raises(ValueError):
+        api.build_runtime_model(b"not a model")
+
+
+# --- exact dedup ---
+
+
+def test_exact_dedup(spark):
+    from batch_jaro_winkler_spark.operators.exact_dedup import (
+        exact_dedup,
+        exact_dup_groups,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "aa"), (2, "bb"), (3, "aa"), (4, "cc"), (5, "bb"), (6, "aa")],
+        "doc_id long, text string",
+    )
+    groups = {r["doc_id"]: r["rep_id"] for r in exact_dup_groups(docs).collect()}
+    assert groups == {1: 1, 3: 1, 6: 1, 2: 2, 5: 2, 4: 4}
+    kept = sorted(r["doc_id"] for r in exact_dedup(docs).collect())
+    assert kept == [1, 2, 4]
+
+
+# --- simhash hamming pairs (pigeonhole) ---
+
+
+def test_simhash_pairs_exact_vs_bruteforce(spark):
+    from batch_jaro_winkler_spark.operators.simhash import simhash_pairs
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 2**63, size=40, dtype=np.uint64)
+    rows = []
+    for i, h in enumerate(base):
+        rows.append((i * 2, int(h.view(np.int64))))
+        flip = h ^ (np.uint64(1) << np.uint64(rng.integers(0, 64)))
+        if rng.random() < 0.5:  # a within-distance-<=2 partner
+            flip ^= np.uint64(1) << np.uint64(rng.integers(0, 64))
+        rows.append((i * 2 + 1, int(flip.view(np.int64))))
+    sig = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {
+        (r["a"], r["b"]): r["hamming"]
+        for r in simhash_pairs(sig, max_hamming=3).collect()
+    }
+    # brute force
+    vals = dict(rows)
+    exp = {}
+    for i in vals:
+        for j in vals:
+            if i < j:
+                d = bin((vals[i] ^ vals[j]) & (2**64 - 1)).count("1")
+                if d <= 3:
+                    exp[(i, j)] = d
+    assert got == exp
+
+
+# --- ANN: LSH recall vs brute force ---
+
+
+def test_ann_lsh_vs_bruteforce(spark):
+    from batch_jaro_winkler_spark.operators.ann import (
+        cosine_topk_bruteforce,
+        cosine_topk_lsh,
+    )
+
+    # clustered corpus: LSH recall is only meaningful when true near
+    # neighbors exist (random gaussians are mutually near-orthogonal)
+    rng = np.random.default_rng(11)
+    dim, n_clusters, per = 32, 40, 10
+    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32)
+    corpus = (
+        centers.repeat(per, axis=0)
+        + 0.15 * rng.standard_normal((n_clusters * per, dim)).astype(np.float32)
+    )
+    rows = [(i, corpus[i].tolist()) for i in range(len(corpus))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    probes = spark.createDataFrame(
+        [(i * per, corpus[i * per].tolist()) for i in range(5)],
+        "probe_id long, probe_vec array<float>",
+    )
+    brute = cosine_topk_bruteforce(probes, emb, k=8)
+    lsh = cosine_topk_lsh(probes, emb, k=8, dim=dim, n_planes=10, n_tables=6)
+    b = {(r["probe_id"], r["vec_id"]) for r in brute.collect()}
+    l = {(r["probe_id"], r["vec_id"]) for r in lsh.collect()}
+    recall = len(b & l) / len(b)
+    assert recall >= 0.8, recall  # clustered neighbors share buckets
+    # the probe itself (cosine 1.0) must always survive LSH bucketing
+    assert all((p * per, p * per) in l for p in range(5))
+
+
+# --- multimodal plumbing ---
+
+
+def test_multimodal_meta_and_decode(spark):
+    from batch_jaro_winkler_spark import multimodal as mm
+
+    rows = [
+        (1, bytes.fromhex("89504E47") + b"xxxx"),       # png magic
+        (2, b"\xff\xd8\xff\xe0rest"),                     # jpeg magic
+        (3, b"<html><body>hi</body></html>"),
+        (4, b"plain bytes"),
+        (5, b""),                                          # decoder error path
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    meta = {r["doc_id"]: r for r in mm.binary_meta(df).collect()}
+    assert meta[1]["mime"] == "image/png"
+    assert meta[2]["mime"] == "image/jpeg"
+    assert meta[3]["mime"] == "text/html"
+    assert meta[4]["mime"] == "application/octet-stream"
+    assert meta[4]["n_bytes"] == 11
+    assert len({m["content_id"] for m in meta.values()}) == 5
+
+    feats = {r["doc_id"]: r for r in mm.decode_features(df).collect()}
+    assert len(feats[1]["features"]) == 16
+    assert feats[5]["features"] is None and "empty payload" in feats[5]["decode_error"]
+    # deterministic: same payload → same features
+    again = {r["doc_id"]: r for r in mm.decode_features(df).collect()}
+    assert feats[1]["features"] == again[1]["features"]
+
+    # swappable decoder contract
+    mm.register_decoder("image/png", lambda ps: np.ones((len(ps), 4), np.float32))
+    try:
+        feats2 = {r["doc_id"]: r for r in mm.decode_features(df).collect()}
+        assert feats2[1]["features"] == [1.0, 1.0, 1.0, 1.0]
+        assert len(feats2[2]["features"]) == 16  # other mimes keep the stub
+    finally:
+        mm._DECODERS.clear()
+
+
+# --- streaming faces ---
+
+
+def test_streaming_signatures_and_sessions(spark, tmp_path):
+    from batch_jaro_winkler_spark.streaming import (
+        incremental_signatures,
+        streaming_session_counts,
+    )
+
+    src = str(tmp_path / "stream_in")
+    spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"), (2, "hello world")],
+        "doc_id long, text string",
+    ).write.parquet(src)
+    sig_stream = incremental_signatures(spark, src)
+    assert sig_stream.isStreaming
+    q = (
+        sig_stream.writeStream.format("memory")
+        .queryName("sig_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql("SELECT doc_id, n_tokens FROM sig_out").collect()
+        assert {(r["doc_id"], r["n_tokens"]) for r in out} == {(1, 9), (2, 2)}
+    finally:
+        q.stop()
+
+    ev_src = str(tmp_path / "events_in")
+    spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:00", 1.0),
+            (1, "2024-01-01 00:10:00", 2.0),
+            (1, "2024-01-01 03:00:00", 3.0),
+            (2, "2024-01-01 00:00:00", 4.0),
+        ],
+        "user_id long, ts_s string, value double",
+    ).withColumn("ts", F.to_timestamp("ts_s")).drop("ts_s").write.parquet(ev_src)
+    stream = spark.readStream.schema("user_id long, value double, ts timestamp").parquet(ev_src)
+    agg = streaming_session_counts(stream)
+    q2 = (
+        agg.writeStream.format("memory")
+        .queryName("sess_out")
+        .outputMode("complete")
+        .start()
+    )
+    try:
+        q2.processAllAvailable()
+        rows = spark.sql(
+            "SELECT user_id, n_events FROM sess_out ORDER BY user_id, n_events"
+        ).collect()
+        assert [(r["user_id"], r["n_events"]) for r in rows] == [(1, 1), (1, 2), (2, 1)]
+    finally:
+        q2.stop()
+
+
+# --- catalog atomicity + config invalidation ---
+
+
+def test_catalog_atomic_and_lineage(spark, tmp_path):
+    from batch_jaro_winkler_spark.sources.catalog import Catalog
+
+    cat = Catalog(spark, str(tmp_path / "cat"))
+    df = spark.range(10).withColumnRenamed("id", "v")
+    out = cat.write("t1", df, config_hash="abc", extra_meta={"stage": "test"})
+    assert out.count() == 10
+    m = cat.manifest("t1")
+    assert m["rows"] == 10 and m["config_hash"] == "abc" and m["stage"] == "test"
+    assert cat.exists("t1", "abc") and not cat.exists("t1", "other")
+
+    # load_or_compute: hit on matching hash, recompute on mismatch
+    calls = []
+
+    def compute():
+        calls.append(1)
+        return spark.range(5).withColumnRenamed("id", "v")
+
+    _, cached = cat.load_or_compute("t1", "abc", compute)
+    assert cached and not calls
+    df2, cached = cat.load_or_compute("t1", "newhash", compute)
+    assert not cached and calls and df2.count() == 5
+
+    # a checkpoint without a manifest is invisible (atomicity contract)
+    import os
+    import shutil
+
+    os.makedirs(str(tmp_path / "cat" / "broken" / "data"), exist_ok=True)
+    assert not cat.exists("broken")
