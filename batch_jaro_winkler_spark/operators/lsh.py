@@ -29,7 +29,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from batch_jaro_winkler_spark.operators.config import DedupConfig
 
@@ -89,11 +89,27 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
         F.col("a") < F.col("b")
     ).select("a", "b")
 
-    hot = sized.where(F.col("n_members") > cap)
+    # --- hot buckets: SALTED skew splitting (explicit, north_rule R8) ---
+    # A mega-bucket (millions of near-identical pages sharing one band
+    # hash) must neither emit quadratic pairs nor serialize into one task.
+    # Salt = the high bits of sort_key (a MinHash value, uniform), so each
+    # salt subgroup is a CONTIGUOUS range of the bucket's sort order:
+    # chaining inside subgroups + one boundary link between adjacent salts
+    # preserves the bucket's connectivity for connected components while
+    # the shuffle key becomes (band, salt) — skew bounded by 2^salt_bits.
+    salt_bits = 4
+    hot = sized.where(F.col("n_members") > cap).withColumn(
+        "salt",
+        F.shiftrightunsigned(F.col("sort_key"), 64 - salt_bits).cast("int"),
+    )
 
     def gen(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        # unsigned sort order, consistent with the unsigned salt ranges
         order = np.lexsort(
-            (pdf["doc_id"].to_numpy(np.int64), pdf["sort_key"].to_numpy(np.int64))
+            (
+                pdf["doc_id"].to_numpy(np.int64),
+                pdf["sort_key"].to_numpy(np.int64).view(np.uint64),
+            )
         )
         ids = pdf["doc_id"].to_numpy(np.int64)[order]
         chunks_a, chunks_b = [], []
@@ -109,9 +125,27 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
         keep = lo != hi
         return pd.DataFrame({"a": lo[keep], "b": hi[keep]})
 
-    hot_pairs = hot.groupBy("band_id", "band_hash").applyInPandas(
+    hot_pairs = hot.groupBy("band_id", "band_hash", "salt").applyInPandas(
         gen, schema="a long, b long"
     )
 
-    pairs = small_pairs.union(hot_pairs)
+    # boundary links: adjacent salt subgroups of the same bucket are
+    # adjacent sort ranges — link last(s) with first(s+1) (tiny relation:
+    # one row per (bucket, salt))
+    ends = hot.groupBy("band_id", "band_hash", "salt").agg(
+        F.min(F.struct("sort_key", "doc_id")).alias("first"),
+        F.max(F.struct("sort_key", "doc_id")).alias("last"),
+    )
+    w_salt = Window.partitionBy("band_id", "band_hash").orderBy("salt")
+    boundary = (
+        ends.withColumn("next_first", F.lead("first").over(w_salt))
+        .where(F.col("next_first").isNotNull())
+        .select(
+            F.least(F.col("last.doc_id"), F.col("next_first.doc_id")).alias("a"),
+            F.greatest(F.col("last.doc_id"), F.col("next_first.doc_id")).alias("b"),
+        )
+        .where(F.col("a") != F.col("b"))
+    )
+
+    pairs = small_pairs.union(hot_pairs).union(boundary)
     return pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_bands"))

@@ -255,3 +255,32 @@ def test_catalog_atomic_and_lineage(spark, tmp_path):
 
     os.makedirs(str(tmp_path / "cat" / "broken" / "data"), exist_ok=True)
     assert not cat.exists("broken")
+
+
+# --- LSH hot-bucket salted chaining keeps connectivity ---
+
+
+def test_lsh_hot_bucket_salted_connectivity(spark):
+    from batch_jaro_winkler_spark.operators.lsh import candidate_pairs
+    from batch_jaro_winkler_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    cfg = DedupConfig(allpairs_cap=8, neighbor_window=2)
+    # one mega bucket of 200 docs (same band hash) + a small 3-doc bucket
+    rng = np.random.default_rng(5)
+    rows = [(int(i), int(rng.integers(-2**62, 2**62)), 0, 777) for i in range(200)]
+    rows += [(int(1000 + i), int(rng.integers(-2**62, 2**62)), 1, 888) for i in range(3)]
+    buckets = spark.createDataFrame(
+        rows, "doc_id long, sort_key long, band_id int, band_hash long"
+    )
+    pairs = candidate_pairs(buckets, cfg)
+    n_pairs = pairs.count()
+    # linear, not quadratic: <= members * window + salt boundaries + small bucket
+    assert n_pairs <= 200 * 2 + 16 + 3, n_pairs
+    clusters = connected_components(pairs.select("a", "b"))
+    roots = {
+        r["cluster_id"]
+        for r in clusters.where(F.col("doc_id") < 1000).collect()
+    }
+    assert roots == {0}, roots  # the mega bucket stays one component
