@@ -132,6 +132,44 @@ def _rel_top10_orders(spark, sf_dir):
     )
 
 
+def _rel_rollup(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.sum("l_quantity").alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+def _rel_running_window(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_suppkey") < 20)
+    w = Window.partitionBy("l_suppkey").orderBy(
+        "l_shipdate", "l_orderkey", "l_linenumber"
+    )
+    return li.select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.sum("l_quantity").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("running_qty"),
+        F.coalesce(F.lag("l_quantity").over(w), F.lit(-1.0)).alias("prev_qty"),
+        F.rank().over(w).alias("rnk"),
+    )
+
+
+def _rel_intersect(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    first = o.where(F.col("o_orderdate") < "1995-01-01").select("o_custkey")
+    second = o.where(F.col("o_orderdate") >= "1997-01-01").select("o_custkey")
+    return first.intersect(second)
+
+
 def _dedup_exact(spark, sf_dir):
     from batch_jaro_winkler_spark.operators.exact_dedup import exact_dup_groups
 
@@ -401,6 +439,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rel_nation_revenue": _rel_nation_revenue,
         "rel_parts_never_ordered": _rel_parts_never_ordered,
         "rel_top10_orders": _rel_top10_orders,
+        "rel_rollup": _rel_rollup,
+        "rel_running_window": _rel_running_window,
+        "rel_intersect": _rel_intersect,
         # dedup family
         "dedup_exact": _dedup_exact,
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
@@ -488,6 +529,30 @@ def oracle_sql() -> dict[str, str]:
         "rel_top10_orders": """
             SELECT o_orderkey, o_custkey, o_totalprice AS totalprice
             FROM orders ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+        """,
+        "rel_rollup": """
+            SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                   coalesce(l_linestatus, 'ALL') AS linestatus,
+                   sum(l_quantity) AS sum_qty, count(*) AS n
+            FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "rel_running_window": """
+            SELECT l_suppkey, l_orderkey, l_linenumber,
+                   sum(l_quantity) OVER (PARTITION BY l_suppkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS running_qty,
+                   coalesce(lag(l_quantity) OVER (PARTITION BY l_suppkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber), -1.0)
+                     AS prev_qty,
+                   rank() OVER (PARTITION BY l_suppkey
+                       ORDER BY l_shipdate, l_orderkey, l_linenumber) AS rnk
+            FROM lineitem WHERE l_suppkey < 20
+        """,
+        "rel_intersect": """
+            SELECT o_custkey FROM orders WHERE o_orderdate < '1995-01-01'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderdate >= '1997-01-01'
         """,
         "dedup_exact": """
             SELECT doc_id, min(doc_id) OVER (PARTITION BY sha256(text)) AS rep_id

@@ -82,7 +82,18 @@ class Catalog:
             .parquet(os.path.join(tmp, "data"))
         )
         back = self.spark.read.parquet(os.path.join(tmp, "data"))
-        n_rows = back.count()
+        # per-partition lineage: row count per scan partition (one cheap
+        # metadata-driven aggregate) — the resume/debug breadcrumb the
+        # north_rule asks for per stage
+        from pyspark.sql import functions as F
+
+        part_rows = [
+            [int(r["pid"]), int(r["n"])]
+            for r in back.groupBy(
+                F.spark_partition_id().alias("pid")
+            ).count().withColumnRenamed("count", "n").orderBy("pid").collect()
+        ]
+        n_rows = sum(n for _, n in part_rows)
         n_files = len(
             [f for f in os.listdir(os.path.join(tmp, "data")) if f.endswith(".parquet")]
         )
@@ -92,6 +103,7 @@ class Catalog:
             "stage_version": stage_version,
             "rows": n_rows,
             "files": n_files,
+            "partition_rows": part_rows,
             "schema": back.schema.jsonValue(),
             "wall_sec": round(time.time() - t0, 3),
             "written_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),

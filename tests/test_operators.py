@@ -284,3 +284,57 @@ def test_lsh_hot_bucket_salted_connectivity(spark):
         for r in clusters.where(F.col("doc_id") < 1000).collect()
     }
     assert roots == {0}, roots  # the mega bucket stays one component
+
+
+# --- per-partition suffix-array substring detection ---
+
+
+def test_suffix_array_exact_pairs():
+    from batch_jaro_winkler_spark.operators.suffix_array import (
+        partition_substring_pairs,
+    )
+
+    shared = "x" * 0 + "the quick brown fox jumps over the lazy dog " * 6  # 270 chars
+    texts = [
+        "aaa " * 80 + shared,                  # doc 0: shares with 1 and 3
+        shared + " bbb" * 80,                  # doc 1
+        "totally unrelated words " * 20,       # doc 2: no overlap
+        "ccc " * 50 + shared + " ddd" * 50,    # doc 3
+        "short",                               # doc 4: below min_len
+    ]
+    ids = np.arange(5, dtype=np.int64)
+    pairs = partition_substring_pairs(ids, texts, min_len=200)
+    # connectivity over {0,1,3}, nothing touching 2 or 4
+    import itertools
+
+    nodes = set(itertools.chain.from_iterable(pairs))
+    assert nodes == {0, 1, 3}, pairs
+    # transitive closure must connect all three
+    comp = {0}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in pairs:
+            if (a in comp) != (b in comp):
+                comp |= {a, b}
+                changed = True
+    assert comp == {0, 1, 3}
+
+
+def test_suffix_array_edges_spark(spark):
+    from batch_jaro_winkler_spark.operators.suffix_array import suffix_array_edges
+
+    shared = "zq " + "the common block of text that repeats verbatim here " * 5
+    docs = spark.createDataFrame(
+        [
+            (0, "intro words " * 30 + shared),
+            (1, shared + "outro words " * 30),
+            (2, "different content entirely " * 30),
+        ],
+        "doc_id long, text string",
+    ).coalesce(1)
+    got = {
+        (r["a"], r["b"])
+        for r in suffix_array_edges(docs, DedupConfig(min_substring_chars=200)).collect()
+    }
+    assert got == {(0, 1)}, got
