@@ -115,8 +115,11 @@ def connected_components(
     prev_sig = _checksum(cur)
     spark = cur.sparkSession
     if prev_sig[0] <= local_threshold:
+        # collect() over toLocalIterator(): the edge list is bounded by the
+        # threshold (~32 MB at 2M edges) and collect fetches partitions in
+        # parallel instead of sequentially
         assign_rows = _local_union_find(
-            (r["hi"], r["lo"]) for r in cur.toLocalIterator()
+            (r["hi"], r["lo"]) for r in cur.collect()
         )
         assign = spark.createDataFrame(
             assign_rows or [(int(-1), int(-1))], "doc_id long, cluster_id long"
