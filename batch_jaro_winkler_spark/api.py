@@ -60,6 +60,8 @@ def build_runtime_model(exportable_model: bytes) -> CandidateModel:
 
 
 def _distance(runtime_model, inp, min_score, weight, threshold, n_best_results):
+    import numpy as np
+
     idx, sc = score(
         runtime_model,
         inp,
@@ -68,11 +70,18 @@ def _distance(runtime_model, inp, min_score, weight, threshold, n_best_results):
         threshold=threshold,
         n_best=n_best_results,
     )
+    # score() returns ORIGINAL candidate ids; the model's buffers are in
+    # internal (length-sorted) order — map back before decoding
+    if runtime_model.orig_ids is not None:
+        inv = np.empty(len(runtime_model.orig_ids), dtype=np.int64)
+        inv[runtime_model.orig_ids] = np.arange(len(runtime_model.orig_ids))
+    else:
+        inv = None
     off, codes = runtime_model.offsets, runtime_model.codes
     out = []
     for i, s in zip(idx, sc):
-        i = int(i)
-        cand = codes[off[i] : off[i + 1]].tobytes().decode("utf-32-le")
+        j = int(inv[int(i)]) if inv is not None else int(i)
+        cand = codes[off[j] : off[j + 1]].tobytes().decode("utf-32-le")
         out.append((cand, float(s)))
     return out
 

@@ -24,10 +24,11 @@ Semantics anchored to the reference (file:line cites into /root/reference):
   ``lib/batch_jaro_winkler.c:751``);
 * required-match-count pruning derived from min_score
   (``runtime.h:288-309``, explained in reference README.md:142-160);
-* ``n_best``: score-desc top-k.  The reference's adaptive min_score ladder
-  (``lib/batch_jaro_winkler.c:788-816``) is a single-node optimization with
-  identical observable results; we use a single pass + partial sort.  Ties
-  are nondeterministic in the reference (unstable qsort); we define
+* ``n_best``: score-desc top-k via the reference's adaptive min_score
+  ladder (``lib/batch_jaro_winkler.c:788-816``): optimistic synthetic
+  thresholds (1-k/N capped 0.8, then -0.2) before the exact fallback —
+  identical observable results, large constant-factor win.  Ties are
+  nondeterministic in the reference (unstable qsort); we define
   (score desc, candidate index asc).
 
 Deliberate divergences (documented, observable-behavior preserving):
@@ -110,6 +111,11 @@ class CandidateModel:
     pos_flat: np.ndarray
     first4: np.ndarray
     min_scores: np.ndarray | None
+    # candidates are stored in LENGTH order (like the reference's compile
+    # sort, c:170-171): internal id = length rank, orig_ids maps back.
+    # Length-ordered ids make the min_score length-band a contiguous id
+    # range, so every per-char index step slices instead of masking.
+    orig_ids: np.ndarray | None = None
 
     @property
     def nb_candidates(self) -> int:
@@ -130,6 +136,15 @@ def build_model(candidates, min_scores=None) -> CandidateModel:
             raise ValueError("min_scores must have one entry per candidate")
         if len(min_scores) and (min_scores.min() < 0.0 or min_scores.max() > 1.0):
             raise ValueError("min_score must be >= 0.0 and <= 1.0")
+    # compile-time length sort (reference c:170-171): internal ids are
+    # length ranks; orig_ids maps results back to caller order
+    orig_ids = np.argsort(
+        np.fromiter((len(s) for s in candidates), dtype=np.int64, count=len(candidates)),
+        kind="stable",
+    )
+    candidates = [candidates[int(i)] for i in orig_ids]
+    if min_scores is not None:
+        min_scores = min_scores[orig_ids]
     codes, offsets = _encode_utf32(candidates)
     n = len(candidates)
     lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
@@ -143,8 +158,8 @@ def build_model(candidates, min_scores=None) -> CandidateModel:
         # reference's packed per-(char,cand) occurrence stream (c:373-394)
         order = np.lexsort((pos_of, cand_of, codes))
         s_char = codes[order]
-        s_cand = cand_of[order]
-        s_pos = pos_of[order]
+        s_cand = cand_of[order].astype(np.int32)
+        s_pos = pos_of[order].astype(np.int32)
         # group boundaries where (char, cand) changes
         newgrp = np.empty(total, dtype=bool)
         newgrp[0] = True
@@ -152,15 +167,18 @@ def build_model(candidates, min_scores=None) -> CandidateModel:
         newgrp[1:] |= s_cand[1:] != s_cand[:-1]
         group_start = np.flatnonzero(newgrp).astype(np.int64)
         group_end = np.append(group_start[1:], total).astype(np.int64)
+        if total < 2**31:  # 4x less memory traffic in the hot loop
+            group_start = group_start.astype(np.int32)
+            group_end = group_end.astype(np.int32)
         group_char = s_char[group_start]
         group_cand = s_cand[group_start]
         pos_flat = s_pos
     else:
         group_char = np.empty(0, dtype=np.uint32)
-        group_cand = np.empty(0, dtype=np.int64)
-        group_start = np.empty(0, dtype=np.int64)
-        group_end = np.empty(0, dtype=np.int64)
-        pos_flat = np.empty(0, dtype=np.int64)
+        group_cand = np.empty(0, dtype=np.int32)
+        group_start = np.empty(0, dtype=np.int32)
+        group_end = np.empty(0, dtype=np.int32)
+        pos_flat = np.empty(0, dtype=np.int32)
 
     first4 = np.zeros((n, 4), dtype=np.uint32)
     for k in range(4):
@@ -178,6 +196,7 @@ def build_model(candidates, min_scores=None) -> CandidateModel:
         pos_flat=pos_flat,
         first4=first4,
         min_scores=min_scores,
+        orig_ids=orig_ids,
     )
 
 
@@ -216,86 +235,84 @@ def _required_matches(
     return out
 
 
-def score(
-    model: CandidateModel,
-    input_str: str,
-    *,
-    min_score: float | None = None,
-    weight: float | None = 0.1,
-    threshold: float | None = 0.7,
-    n_best: int | None = None,
-    dtype=np.float32,
-) -> tuple[np.ndarray, np.ndarray]:
-    """Score ``input_str`` against every candidate in ``model``.
-
-    Returns ``(candidate_indices, scores)`` — only candidates surviving the
-    min_score / n_best filters, in original candidate order (or score-desc
-    order when ``n_best`` is set).  ``dtype`` selects the arithmetic width:
-    float32 matches the C reference bit-for-bit at its own 1e-4 tolerance;
-    float64 matches external double-precision oracles (e.g. DuckDB's
-    ``jaro_winkler_similarity``).
-
-    Argument validation mirrors ``python/cbatch_jaro_winkler.pyx:134-152``.
-    """
-    if min_score is not None and not 0.0 <= min_score <= 1.0:
-        raise ValueError("min_score must be >= 0.0 and <= 1.0")
-    if weight is not None and not 0.0 <= weight <= 0.25:
-        raise ValueError("weight must be >= 0.0 and <= 0.25")
-    if threshold is not None and not 0.0 <= threshold <= 1.0:
-        raise ValueError("threshold must be >= 0.0 and <= 1.0")
-    if n_best is not None and n_best < 0:
-        raise ValueError("n_best_results must be >= 0")
-    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype))
-    if n_best == 0:  # binding-level: 0 means "no results" (pyx:143-144)
-        return empty
+def _length_band(model: CandidateModel, input_len: int, s_floor: float, w: float):
+    """Contiguous internal-id range [lo, hi) of candidates whose length can
+    reach ``s_floor``: jaro <= (m/li + m/lc + 1)/3 with m = min(li, lc), so
+    lc must lie in [li*(3s-2), li/(3s-2)] when s > 2/3 (with the max
+    possible winkler bonus backed out first).  Internal ids are length
+    ranks, so the band is a slice — the DataFrame-level corollary is the
+    length prefilter in verify_pairs (SURVEY.md R1)."""
     n = model.nb_candidates
-    if n == 0:
-        return empty
+    s = float(s_floor)
+    if w >= 0.0:
+        denom = 1.0 - 4.0 * w
+        if denom <= 1e-9:
+            return 0, n
+        s = (s - 4.0 * w) / denom
+    f = 3.0 * s - 2.0
+    if f <= 1e-9:
+        return 0, n
+    f = max(f - 1e-6, 1e-9)  # conservative float margin
+    len_lo = int(np.floor(input_len * f))
+    len_hi = int(np.ceil(input_len / f))
+    lo = int(np.searchsorted(model.lengths, len_lo, side="left"))
+    hi = int(np.searchsorted(model.lengths, len_hi, side="right"))
+    return lo, hi
 
-    w = -1.0 if weight is None else float(weight)
-    thr = -1.0 if threshold is None else float(threshold)
 
-    # --- effective per-candidate min_score (O14 precedence, c:751) ---
-    if min_score is None:
-        if model.min_scores is not None:
-            eff_min = model.min_scores.astype(dtype)
-        else:
-            eff_min = np.zeros(n, dtype=dtype)
-    else:
-        eff_min = np.full(n, dtype(min_score))
-
-    in_codes_all, _ = _encode_utf32([input_str])
-    input_len = len(in_codes_all)
+def _score_pass(
+    model: CandidateModel,
+    in_codes_all: np.ndarray,
+    input_len: int,
+    eff_min: np.ndarray,
+    w: float,
+    thr: float,
+    dtype,
+) -> tuple[np.ndarray, np.ndarray]:
+    """One full scoring pass (internal candidate ids)."""
+    n = model.nb_candidates
     lengths = model.lengths
 
-    # --- pruning bounds (O9) ---
-    required = _required_matches(lengths, input_len, eff_min, w)
+    # --- pruning bounds (O9) + length band (R1) ---
+    required = _required_matches(lengths, input_len, eff_min, w).astype(np.int32)
     search_range = np.maximum(lengths, input_len) // 2
-    search_range = np.where(search_range <= 1, 0, search_range - 1)
+    search_range = np.where(search_range <= 1, 0, search_range - 1).astype(np.int32)
+    band_lo, band_hi = _length_band(
+        model, input_len, float(eff_min.min()) if n else 0.0, w
+    )
 
     # --- match finding (O10): loop over input chars, vectorized over the
-    # char's (char,candidate) occurrence groups ---
-    m = np.zeros(n, dtype=np.int64)
+    # char's (char,candidate) occurrence groups, sliced to the band ---
+    m = np.zeros(n, dtype=np.int32)
     match_cand: list[np.ndarray] = []
     match_char: list[np.ndarray] = []
     match_pos: list[np.ndarray] = []
-    if input_len and len(model.group_char):
+    if input_len and len(model.group_char) and band_lo < band_hi:
+        prunable = bool(required.max() > 0) if n else False
         cur = model.group_start.copy()
         gchar = model.group_char
+        gcand = model.group_cand
+        full_band = band_lo == 0 and band_hi == n
         for i in range(input_len):
             ch = in_codes_all[i]
             g0 = np.searchsorted(gchar, ch, side="left")
             g1 = np.searchsorted(gchar, ch, side="right")
             if g0 == g1:
                 continue
-            g = np.arange(g0, g1)
-            cands = model.group_cand[g0:g1]
-            # early abandon (runtime.h:348-349)
-            alive = m[cands] + (input_len - i) >= required[cands]
-            g = g[alive]
-            if not len(g):
-                continue
-            cands = cands[alive]
+            if not full_band:
+                # group_cand ascending within the char segment: band slice
+                g0 = g0 + int(np.searchsorted(gcand[g0:g1], band_lo, side="left"))
+                g1 = g0 + int(np.searchsorted(gcand[g0:g1], band_hi, side="left"))
+                if g0 == g1:
+                    continue
+            g = np.arange(g0, g1, dtype=np.int32)
+            cands = gcand[g0:g1]
+            if prunable:  # early abandon (runtime.h:348-349)
+                alive = m[cands] + np.int32(input_len - i) >= required[cands]
+                g = g[alive]
+                if not len(g):
+                    continue
+                cands = cands[alive]
             end = model.group_end[g]
             low = i - search_range[cands]
             high = i + search_range[cands]
@@ -364,12 +381,94 @@ def score(
         all_sc = np.concatenate([sc, np.zeros(len(zm), dtype=dtype)])
         order = np.argsort(all_idx, kind="stable")
         idx, sc = all_idx[order], all_sc[order]
+    return idx, sc
 
-    # --- n_best (O15): deterministic (score desc, cand asc) ---
-    if n_best is not None and len(idx) > 0:
-        k = min(n_best, len(idx))
-        order = np.lexsort((idx, -sc))[:k]
+
+def score(
+    model: CandidateModel,
+    input_str: str,
+    *,
+    min_score: float | None = None,
+    weight: float | None = 0.1,
+    threshold: float | None = 0.7,
+    n_best: int | None = None,
+    dtype=np.float32,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Score ``input_str`` against every candidate in ``model``.
+
+    Returns ``(candidate_indices, scores)`` in the caller's original
+    candidate order (or score-desc, index-asc when ``n_best`` is set) —
+    only candidates surviving the min_score / n_best filters.  ``dtype``
+    selects the arithmetic width: float32 matches the C reference
+    bit-for-bit at its own 1e-4 tolerance; float64 matches external
+    double-precision oracles (e.g. DuckDB's ``jaro_winkler_similarity``).
+
+    ``n_best`` uses the reference's adaptive min_score ladder
+    (lib/batch_jaro_winkler.c:788-816): optimistic synthetic thresholds
+    first (1 - k/N capped at 0.8, then -0.2), falling back to the exact
+    min_score — identical observable results, large constant-factor win.
+
+    Argument validation mirrors ``python/cbatch_jaro_winkler.pyx:134-152``.
+    """
+    if min_score is not None and not 0.0 <= min_score <= 1.0:
+        raise ValueError("min_score must be >= 0.0 and <= 1.0")
+    if weight is not None and not 0.0 <= weight <= 0.25:
+        raise ValueError("weight must be >= 0.0 and <= 0.25")
+    if threshold is not None and not 0.0 <= threshold <= 1.0:
+        raise ValueError("threshold must be >= 0.0 and <= 1.0")
+    if n_best is not None and n_best < 0:
+        raise ValueError("n_best_results must be >= 0")
+    empty = (np.empty(0, dtype=np.int64), np.empty(0, dtype=dtype))
+    if n_best == 0:  # binding-level: 0 means "no results" (pyx:143-144)
+        return empty
+    n = model.nb_candidates
+    if n == 0:
+        return empty
+
+    w = -1.0 if weight is None else float(weight)
+    thr = -1.0 if threshold is None else float(threshold)
+
+    # --- effective per-candidate min_score (O14 precedence, c:751) ---
+    if min_score is None:
+        if model.min_scores is not None:
+            eff_base = model.min_scores.astype(dtype)
+        else:
+            eff_base = np.zeros(n, dtype=dtype)
+    else:
+        eff_base = np.full(n, dtype(min_score))
+
+    in_codes_all, _ = _encode_utf32([input_str])
+    input_len = len(in_codes_all)
+
+    if n_best is None:
+        idx, sc = _score_pass(model, in_codes_all, input_len, eff_base, w, thr, dtype)
+    else:
+        k = min(n_best, n)
+        # reference ladder (c:788-816): base value -1 when min_score unset
+        base_val = -1.0 if min_score is None else float(min_score)
+        t0 = min(1.0 - k / n, 0.8)
+        t1 = t0 - 0.2
+        tries = [t for t in (t0, t1) if t > base_val]
+        tries.append(base_val)
+        idx = sc = None
+        for t_val in tries:
+            eff = np.maximum(eff_base, dtype(t_val)) if t_val > 0 else eff_base
+            idx, sc = _score_pass(model, in_codes_all, input_len, eff, w, thr, dtype)
+            if len(idx) >= k:
+                break
+        order = np.lexsort((idx, -sc))[: min(k, len(idx))]
         idx, sc = idx[order], sc[order]
+
+    # map internal length-rank ids back to the caller's candidate order
+    if model.orig_ids is not None and len(idx):
+        idx = model.orig_ids[idx]
+        if n_best is None:
+            order = np.argsort(idx, kind="stable")
+            idx, sc = idx[order], sc[order]
+        else:
+            # re-apply the deterministic tie-break on ORIGINAL ids
+            order = np.lexsort((idx, -sc))
+            idx, sc = idx[order], sc[order]
     return idx, sc
 
 

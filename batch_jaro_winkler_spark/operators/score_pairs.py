@@ -142,9 +142,17 @@ def score_topk(
         (r[0], r[1])
         for r in probes.select(probe_id, probe_text).collect()
     ]
+    # compile-once-query-many wants LARGE candidate batches: coalesce the
+    # partition's Arrow batches before building the shared model, so each
+    # partition compiles ~one model regardless of arrow batch sizing
+    coalesce_rows = 100_000
 
     def per_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
+        pending: list[pd.DataFrame] = []
+        n_pending = 0
+
+        def flush():
+            pdf = pending[0] if len(pending) == 1 else pd.concat(pending)
             model = build_model(pdf[cand_text].tolist())
             out_p, out_c, out_s = [], [], []
             for pid, ptext in probe_rows:
@@ -160,9 +168,18 @@ def score_topk(
                 out_p.extend([pid] * len(idx))
                 out_c.extend(pdf[cand_id].iloc[np.asarray(idx, dtype=np.int64)])
                 out_s.extend(sc.astype(np.float64))
-            yield pd.DataFrame(
+            return pd.DataFrame(
                 {"probe_id": out_p, "cand_id": out_c, "score": out_s}
             )
+
+        for pdf in batches:
+            pending.append(pdf)
+            n_pending += len(pdf)
+            if n_pending >= coalesce_rows:
+                yield flush()
+                pending, n_pending = [], 0
+        if pending:
+            yield flush()
 
     partial = candidates.select(cand_id, cand_text).mapInPandas(
         per_batch, schema="probe_id long, cand_id long, score double"

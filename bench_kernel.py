@@ -1,0 +1,113 @@
+#!/usr/bin/env python
+"""Kernel throughput benchmark mirroring the reference's own protocol
+(/root/reference/benchmark/benchmark.py: 100 query inputs scored against
+the full word list, total seconds for all 100, MB/s = bytes*100/time/1e6).
+
+The reference word files are stripped from the snapshot, so the corpus is
+the seeded FIXTURES.md F4 generator sized to the reference's ~4.86 MB
+english list. Two execution modes:
+
+* single-process numpy kernel (apples-to-apples with the C library's
+  1-thread rows in BASELINE.md);
+* Spark-parallel (mapInPandas over candidate partitions, per-batch
+  compiled models, TakeOrdered merge) — the engine's real deployment
+  shape, still one node (the reference's own 4-thread rows are the
+  comparable line).
+
+Prints one JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+from batch_jaro_winkler_spark.fixtures import make_wordlist
+from batch_jaro_winkler_spark.kernel import build_model, score
+
+
+def _corpus():
+    words = make_wordlist(n_ascii=460_000, n_cjk=0, seed=0)
+    # dedupe like a real word list
+    words = sorted(set(words))
+    n_bytes = sum(len(w) for w in words)
+    queries = words[:: len(words) // 100][:100]
+    return words, queries, n_bytes
+
+
+def bench_single(words, queries, n_bytes) -> dict:
+    t0 = time.time()
+    model = build_model(words)
+    compile_sec = time.time() - t0
+    out = {}
+    for label, kwargs in [
+        ("jaro_min09", dict(min_score=0.9, weight=None, threshold=None)),
+        ("jaro_min00", dict(min_score=0.0, weight=None, threshold=None)),
+        ("jaro_nbest10", dict(n_best=10, weight=None, threshold=None)),
+    ]:
+        t0 = time.time()
+        total = 0
+        for q in queries:
+            idx, _ = score(model, q, **kwargs)
+            total += len(idx)
+        sec = time.time() - t0
+        out[label] = {
+            "sec": round(sec, 3),
+            "mb_per_s": round(n_bytes * len(queries) / sec / 1e6, 1),
+            "results": total,
+        }
+    out["compile_sec"] = round(compile_sec, 3)
+    return out
+
+
+def bench_spark(words, queries, n_bytes, cores: int) -> dict:
+    from pyspark.sql import functions as F
+
+    from batch_jaro_winkler_spark.operators.score_pairs import score_topk
+    from batch_jaro_winkler_spark.session import get_spark
+
+    spark = get_spark("bjws-kernel-bench", cores=cores, shuffle_partitions=cores)
+    cands = spark.createDataFrame(
+        [(i, w) for i, w in enumerate(words)], "cand_id long, cand_text string"
+    ).repartition(cores).cache()
+    cands.count()
+    probes = spark.createDataFrame(
+        [(i, q) for i, q in enumerate(queries)], "probe_id long, probe_text string"
+    )
+    out = {}
+    for label, kwargs in [
+        ("jaro_min09", dict(min_score=0.9, weight=None, threshold=None, k=10**9)),
+        ("jaro_nbest10", dict(weight=None, threshold=None, k=10)),
+    ]:
+        score_topk(probes, cands, **kwargs).count()  # warm python workers
+        t0 = time.time()
+        n = score_topk(probes, cands, **kwargs).count()
+        sec = time.time() - t0
+        out[label] = {
+            "sec": round(sec, 3),
+            "mb_per_s": round(n_bytes * len(queries) / sec / 1e6, 1),
+            "results": n,
+        }
+    spark.stop()
+    return out
+
+
+def main() -> None:
+    words, queries, n_bytes = _corpus()
+    result = {
+        "protocol": "reference benchmark.py: 100 queries vs full word list",
+        "n_candidates": len(words),
+        "dataset_bytes": n_bytes,
+        "single_core": bench_single(words, queries, n_bytes),
+    }
+    if os.environ.get("SKIP_SPARK") != "1":
+        result["spark_8c"] = bench_spark(words, queries, n_bytes, 8)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())
