@@ -134,3 +134,127 @@ class DedupPipeline:
             lambda: connected_components(edges, cfg, all_nodes=docs.select("doc_id")),
         )
         return clusters
+
+    # ------------------------------------------------------------------
+    # incremental mode: new documents against the existing state
+    # ------------------------------------------------------------------
+
+    def run_incremental(
+        self,
+        new_docs: DataFrame,
+        id_col: str = "doc_id",
+        text_col: str = "text",
+    ) -> DataFrame:
+        """Assign cluster ids to ``new_docs`` against an existing run's
+        state WITHOUT recomputing old signatures — the daily-crawl shape:
+
+        1. signatures for the new docs only (narrow map);
+        2. LSH buckets of new docs joined against the existing signature
+           table, restricted to band hashes the new docs actually touch
+           (a semi-join — the old table is scanned once, never reshuffled
+           in full);
+        3. Jaro-Winkler verification of new-new and new-old pairs;
+        4. connected components over (existing assignments as edges) ∪
+           (new edges) → updated total assignment; cluster ids stay
+           min(doc_id), so existing ids only change when clusters merge;
+        5. the signatures and clusters checkpoints are rewritten as the
+           union (atomically; an Iceberg backend would append a snapshot).
+
+        The substring stage is batch-only: exact-substring links to old
+        docs are picked up at the next full run (documented trade-off —
+        fingerprints of the old corpus would otherwise need a checkpoint
+        table, which `run` does not currently persist).
+        """
+        from batch_jaro_winkler_spark.operators.lsh import band_buckets
+
+        cfg = self.cfg
+        if not self.catalog.exists("signatures", cfg.config_hash()):
+            raise ValueError(
+                "run_incremental needs a completed run's checkpoints with "
+                "the same config (signatures missing or config changed)"
+            )
+        old_sigs = self.catalog.read("signatures")
+        old_clusters = self.catalog.read("clusters")
+
+        new_docs = new_docs.select(
+            F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
+        )
+        parallelism = self.spark.sparkContext.defaultParallelism
+        if new_docs.rdd.getNumPartitions() < parallelism:
+            new_docs = new_docs.repartition(parallelism)
+
+        # increment-specific stage names: a second increment must not reuse
+        # the previous increment's checkpoints (config hash alone cannot
+        # distinguish inputs)
+        tok_row = new_docs.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(doc_id))"), F.lit(0)).alias("h"),
+        ).collect()[0]
+        inc = f"inc_{tok_row['n']}_{tok_row['h'] & 0xFFFFFFFF:08x}"
+
+        def _normalize():
+            from batch_jaro_winkler_spark.functions.text import normalize_pandas
+
+            def go(batches):
+                for pdf in batches:
+                    yield pdf.assign(norm=normalize_pandas(pdf["text"]))[
+                        ["doc_id", "norm"]
+                    ]
+
+            return new_docs.mapInPandas(go, schema="doc_id long, norm string")
+
+        norm_new = self._stage(f"normalized_{inc}", _normalize)
+        new_sigs = self._stage(
+            f"signatures_{inc}",
+            lambda: compute_signatures(
+                norm_new, cfg, "doc_id", "norm", pre_normalized=True
+            ),
+        )
+
+        def _pairs():
+            new_buckets = band_buckets(new_sigs)
+            # only old buckets whose (band, hash) a new doc touches matter
+            old_buckets = band_buckets(old_sigs).join(
+                new_buckets.select("band_id", "band_hash").distinct(),
+                ["band_id", "band_hash"],
+                "left_semi",
+            )
+            pairs = candidate_pairs(new_buckets.union(old_buckets), cfg)
+            # drop old-old pairs resurfacing through shared buckets
+            new_ids = new_sigs.select(F.col("doc_id").alias("a"))
+            new_ids_b = new_sigs.select(F.col("doc_id").alias("b"))
+            is_new_a = pairs.join(new_ids, "a", "left_semi")
+            is_new_b = pairs.join(new_ids_b, "b", "left_semi")
+            return is_new_a.union(is_new_b).distinct()
+
+        pairs = self._stage(f"cand_pairs_{inc}", _pairs)
+
+        all_sigs = old_sigs.select("doc_id", "jw_text").union(
+            new_sigs.select("doc_id", "jw_text")
+        )
+        new_edges = self._stage(
+            f"jw_edges_{inc}",
+            lambda: verify_pairs(
+                pairs.select("a", "b"), all_sigs, cfg, "doc_id", "jw_text"
+            ),
+        )
+
+        # existing assignments enter CC as (doc, cluster) edges so merges
+        # across old clusters propagate
+        old_edges = old_clusters.select(
+            F.col("doc_id").alias("a"), F.col("cluster_id").alias("b")
+        ).where(F.col("a") != F.col("b"))
+        all_nodes = old_clusters.select("doc_id").union(new_docs.select("doc_id"))
+        clusters = self._stage(
+            f"clusters_{inc}",
+            lambda: connected_components(
+                new_edges.select("a", "b").union(old_edges), cfg, all_nodes=all_nodes
+            ),
+        )
+
+        # fold the increment into the base state (atomic overwrite)
+        self.catalog.write(
+            "signatures", old_sigs.unionByName(new_sigs), cfg.config_hash()
+        )
+        self.catalog.write("clusters", clusters, cfg.config_hash())
+        return clusters

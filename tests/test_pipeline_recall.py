@@ -90,3 +90,52 @@ def test_recall_and_resume(spark, corpus, docs_df, tmp_path_factory):
     pipe3 = DedupPipeline(spark, cfg3, root)
     pipe3.run(docs_df, "doc_id", "text")
     assert not any(m.cached for m in pipe3.metrics)
+
+
+def test_incremental_run(spark, tmp_path_factory):
+    """Daily-crawl shape: a base run, then new docs (some near-dups of OLD
+    docs, some new clusters, some unique) assigned incrementally without
+    recomputing old signatures."""
+    import random
+
+    from batch_jaro_winkler_spark.fixtures import make_corpus
+
+    base = make_corpus(n_rows=300, seed=11)
+    rows = [(i, r["text"]) for i, r in enumerate(base.rows)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    root = str(tmp_path_factory.mktemp("inc"))
+    cfg = DedupConfig()
+    pipe = DedupPipeline(spark, cfg, root)
+    base_clusters = {
+        r["doc_id"]: r["cluster_id"]
+        for r in pipe.run(docs, "doc_id", "text").collect()
+    }
+
+    # new docs: 10 exact copies of old docs, 5 fresh unique docs
+    rng = random.Random(4)
+    old_ids = rng.sample(range(300), 10)
+    new_rows = [(1000 + j, base.rows[i]["text"]) for j, i in enumerate(old_ids)]
+    new_rows += [
+        (2000 + j, f"completely fresh unique document number {j} " * 20)
+        for j in range(5)
+    ]
+    new_docs = spark.createDataFrame(new_rows, "doc_id long, text string")
+
+    pipe2 = DedupPipeline(spark, cfg, root)
+    updated = {
+        r["doc_id"]: r["cluster_id"]
+        for r in pipe2.run_incremental(new_docs).collect()
+    }
+    # old signature stage was NOT recomputed (no 'signatures' stage rerun)
+    assert not any(m.name == "signatures" for m in pipe2.metrics)
+    # total assignment covers old + new
+    assert len(updated) == 315
+    # copies joined their source doc's cluster
+    for j, i in enumerate(old_ids):
+        assert updated[1000 + j] == min(updated[i], base_clusters[i]), (j, i)
+    # fresh docs are singletons
+    for j in range(5):
+        assert updated[2000 + j] == 2000 + j
+    # old assignments unchanged (no merges induced here)
+    unchanged = sum(1 for d, c in base_clusters.items() if updated[d] == c)
+    assert unchanged == 300
