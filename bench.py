@@ -66,7 +66,10 @@ def _scaling_corpus() -> str:
     pdf = pd.DataFrame(
         {"doc_id": range(len(corpus.rows)), "text": [r["text"] for r in corpus.rows]}
     )
-    pq.write_table(pa.Table.from_pandas(pdf), path, row_group_size=10_000)
+    # atomic: a bench interrupted mid-generation must not poison the cache
+    tmp = path + ".tmp"
+    pq.write_table(pa.Table.from_pandas(pdf), tmp, row_group_size=10_000)
+    os.replace(tmp, path)
     return path
 
 
