@@ -17,6 +17,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
+from batch_jaro_winkler_spark import multimodal as MM
 from batch_jaro_winkler_spark.functions import hashing as H
 from batch_jaro_winkler_spark.functions import text as TX
 from batch_jaro_winkler_spark.functions import vectors as V
@@ -348,16 +349,37 @@ def _ann_cosine_topk(spark, sf_dir):
 def _events_sessions(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    epoch = F.col("ts").cast("timestamp").cast("long")
-    gap = epoch - F.lag(epoch).over(w)
+    # exact integer microseconds (a truncating seconds cast would disagree
+    # with DuckDB's fractional epoch() near gap boundaries); gap >= 30 min
+    # starts a new session — matching Spark session_window's end-exclusive
+    # boundary so the batch and streaming twins agree exactly
+    epoch_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = epoch_us - F.lag(epoch_us).over(w)
     marked = ev.withColumn(
         "new_session",
-        F.when(gap.isNull() | (gap > 1800), F.lit(1)).otherwise(F.lit(0)),
+        F.when(gap.isNull() | (gap >= 1800_000_000), F.lit(1)).otherwise(F.lit(0)),
     )
+    # sum exact integer ten-thousandths: double-sum order differs with
+    # partition count, flipping the 4-dp rounding on last-ulp differences
+    # (the round-1 hash mismatch); integer addition is order-independent
+    val_units = F.round(F.col("value") * 10000).cast("long")
     return marked.groupBy("user_id").agg(
         F.sum("new_session").alias("n_sessions"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 4).alias("total_value"),
+        (F.sum(val_units) / 10000.0).alias("total_value"),
+    )
+
+
+def _events_session_window(spark, sf_dir):
+    """Spark session_window (the streaming operator, run in batch mode —
+    identical code path to streaming/incremental.session_window_stats) vs a
+    DuckDB gap-logic oracle.  Sessions are identified by min(event_id), so
+    no raw timestamps reach the hashed output."""
+    from batch_jaro_winkler_spark.streaming.incremental import session_window_stats
+
+    ev = _t(spark, sf_dir, "events")
+    return session_window_stats(ev, gap_minutes=30).select(
+        "user_id", "first_event", "n_events", "total_value"
     )
 
 
@@ -375,10 +397,29 @@ def _mm_binary_meta(spark, sf_dir):
     )
 
 
+def _dedup_embedding_lsh(spark, sf_dir):
+    """The GRADED embedding near-dup operator: hyperplane-LSH bucketed
+    candidate generation + exact cosine re-rank — no unbucketed cross join
+    anywhere in the plan (operators/ann.py:embedding_dup_pairs_lsh).
+    Rows-only driver check (random planes aren't SQL-expressible); its
+    correctness gates are the pytest planted-near-dup recall >= 0.95 test
+    and the brute-force twin below.  4 planes / 16 tables are tuned for
+    the sf0.01 tail regime (cos 0.4 ≈ 63°: per-table p ≈ 0.16, overall
+    recall ≈ 0.94); at real scale planes grow with log2(n) and thresholds
+    sit in the true near-dup regime where recall is far higher."""
+    from batch_jaro_winkler_spark.operators.ann import embedding_dup_pairs_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_dup_pairs_lsh(
+        emb, threshold=0.4, dim=64, n_planes=4, n_tables=16
+    ).select("a", "b", F.round("cos", 5).alias("cos_r"))
+
+
 def _dedup_embedding(spark, sf_dir):
-    """Embedding-cosine near-dup pairs: all (a, b) with cosine >= 0.4 over
-    the embeddings table (the sf0.01 table has no true near-dups, so the
-    threshold sits in the distribution tail to exercise the operator)."""
+    """Embedding-cosine near-dup pairs, brute-force all-pairs variant:
+    the SMALL-SCALE ORACLE for dedup_embedding_lsh (exact, DuckDB-checkable,
+    O(n²) — never the scale path).  The sf0.01 table has no true near-dups,
+    so threshold 0.4 sits in the distribution tail to exercise the math."""
     emb = _t(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("a"), F.col("embedding").alias("va"))
     b = emb.select(F.col("vec_id").alias("b"), F.col("embedding").alias("vb"))
@@ -389,9 +430,11 @@ def _dedup_embedding(spark, sf_dir):
 
 
 def _mm_decode_features(spark, sf_dir):
-    """Multimodal decode plumbing (stubbed decoder, real schema/batching —
-    rows-only check): documents' bytes through sniff → batched decode →
-    (doc_id, mime, feature dim, first feature)."""
+    """Multimodal decode plumbing (stubbed decoder, real schema/batching):
+    documents' bytes through sniff → batched decode → (doc_id, mime,
+    feature dim, first feature).  The sha256-derived stub features are
+    SQL-expressible, so this row IS oracle-checked (sniff CASE + feat0
+    generated from the same constants in multimodal.py)."""
     from batch_jaro_winkler_spark.multimodal import decode_features
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
@@ -401,7 +444,9 @@ def _mm_decode_features(spark, sf_dir):
         "doc_id",
         "mime",
         F.size("features").alias("dim"),
-        F.round(F.col("features").getItem(0), 5).alias("feat0_r"),
+        # cast float32→double (exact) BEFORE rounding: Spark rounds floats
+        # via their shortest-decimal repr, which differs from DuckDB
+        F.round(F.col("features").getItem(0).cast("double"), 5).alias("feat0_r"),
     )
 
 
@@ -457,7 +502,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search / events / multimodal
         "ann_cosine_topk": _ann_cosine_topk,
         "dedup_embedding": _dedup_embedding,
+        "dedup_embedding_lsh": _dedup_embedding_lsh,
         "events_sessions": _events_sessions,
+        "events_session_window": _events_session_window,
         "mm_binary_meta": _mm_binary_meta,
         "mm_decode_features": _mm_decode_features,
         # scale-path operators (rows-only checks; pytest owns correctness)
@@ -659,20 +706,48 @@ def oracle_sql() -> dict[str, str]:
             WITH marked AS (
               SELECT user_id, value,
                      CASE WHEN lag(ts) OVER w IS NULL
-                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
                           THEN 1 ELSE 0 END AS new_session
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
             SELECT user_id, sum(new_session) AS n_sessions,
-                   count(*) AS n_events, round(sum(value), 4) AS total_value
+                   count(*) AS n_events,
+                   sum(round(value * 10000)::BIGINT) / 10000.0 AS total_value
             FROM marked GROUP BY user_id
+        """,
+        "events_session_window": """
+            WITH marked AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id, event_id, value,
+                     sum(new_session) OVER (PARTITION BY user_id
+                         ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sn
+              FROM marked
+            )
+            SELECT user_id, min(event_id) AS first_event,
+                   count(*) AS n_events,
+                   sum(round(value * 10000)::BIGINT) / 10000.0 AS total_value
+            FROM sess GROUP BY user_id, sn
         """,
         "mm_binary_meta": """
             SELECT doc_id,
                    octet_length(encode(text)) AS n_bytes,
                    hex(encode(substr(text, 1, 4))) AS head_hex
             FROM documents
+        """,
+        "mm_decode_features": f"""
+            SELECT doc_id,
+                   {MM.sniff_mime_sql('text')} AS mime,
+                   {MM.STUB_DIM} AS dim,
+                   round({MM.stub_feat0_sql('text')}, 5) AS feat0_r
+            FROM documents WHERE doc_id < 50
         """,
         # pipeline_lsh_pairs / pipeline_simhash_pairs: intentionally no
         # oracle — multiply-shift/FNV hashing is not SQL-expressible; the

@@ -23,7 +23,10 @@ from pyspark.sql import DataFrame, functions as F
 
 __all__ = [
     "MAGIC_BYTES",
+    "STUB_DIM",
     "sniff_mime",
+    "sniff_mime_sql",
+    "stub_feat0_sql",
     "binary_meta",
     "register_decoder",
     "decode_features",
@@ -51,6 +54,34 @@ def sniff_mime(payload: F.Column) -> F.Column:
     return expr
 
 
+def sniff_mime_sql(text_expr: str) -> str:
+    """DuckDB twin of :func:`sniff_mime` for utf-8-encoded text payloads,
+    generated from the same MAGIC_BYTES table so the two cannot drift.
+    First 8 chars encode to >= 8 bytes; every magic prefix is <= 5 bytes,
+    so the starts_with test is byte-equivalent to Spark's binary slice."""
+    head = f"upper(hex(encode(substr({text_expr}, 1, 8))))"
+    whens = " ".join(
+        f"WHEN starts_with({head}, '{prefix.upper()}') THEN '{mime}'"
+        for prefix, mime in MAGIC_BYTES
+    )
+    return f"(CASE {whens} ELSE 'application/octet-stream' END)"
+
+
+def stub_feat0_sql(text_expr: str) -> str:
+    """DuckDB twin of _stub_decoder's feature[0] for a utf-8 text payload:
+    the first little-endian uint16 of sha256(payload), / 65535 quantized to
+    float32 (::FLOAT reproduces numpy's float32 division exactly — the
+    quotient has odd denominator, so no double-rounding ties exist)."""
+    hh = f"lower(sha256({text_expr}))"
+    digits = "'0123456789abcdef'"
+
+    def nib(i: int) -> str:
+        return f"(strpos({digits}, substr({hh}, {i}, 1)) - 1)"
+
+    k = f"(({nib(1)}*16 + {nib(2)}) + 256*({nib(3)}*16 + {nib(4)}))"
+    return f"(({k}::DOUBLE / 65535.0)::FLOAT::DOUBLE)"
+
+
 def binary_meta(
     df: DataFrame, payload_col: str = "payload", id_col: str = "doc_id"
 ) -> DataFrame:
@@ -74,6 +105,9 @@ def register_decoder(mime: str, fn: Callable) -> None:
     _DECODERS[mime] = fn
 
 
+STUB_DIM = 16  # _stub_decoder output width; shared with the SQL twin
+
+
 def _stub_decoder(payloads: list) -> np.ndarray:
     """STUB decode: the sandbox ships no media libraries, so this produces
     a deterministic content-derived pseudo-feature (sha-seeded) with the
@@ -81,7 +115,7 @@ def _stub_decoder(payloads: list) -> np.ndarray:
     Raises for empty payloads like a real decoder would."""
     import hashlib
 
-    dim = 16
+    dim = STUB_DIM
     out = np.empty((len(payloads), dim), dtype=np.float32)
     for i, b in enumerate(payloads):
         if not b:

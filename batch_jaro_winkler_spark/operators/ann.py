@@ -20,7 +20,12 @@ from pyspark.sql import DataFrame, Window, functions as F
 
 from batch_jaro_winkler_spark.functions.vectors import cosine
 
-__all__ = ["cosine_topk_bruteforce", "cosine_topk_lsh", "hyperplane_buckets"]
+__all__ = [
+    "cosine_topk_bruteforce",
+    "cosine_topk_lsh",
+    "embedding_dup_pairs_lsh",
+    "hyperplane_buckets",
+]
 
 
 def cosine_topk_bruteforce(
@@ -81,6 +86,54 @@ def hyperplane_buckets(
     schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
     schema += f", table_id int, {out_col} long"
     return df.mapInPandas(bucketize, schema=schema)
+
+
+def embedding_dup_pairs_lsh(
+    corpus: DataFrame,
+    threshold: float,
+    dim: int,
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+    n_planes: int = 12,
+    n_tables: int = 8,
+    seed: int = 42,
+    bucket_cap: int = 100_000,
+) -> DataFrame:
+    """→ (a, b, cos) embedding near-dup pairs with cosine >= threshold,
+    candidate generation restricted to hyperplane-LSH bucket co-members —
+    the scale path that replaces the O(n²) all-pairs cross join.
+
+    Join work per table is Σ bucket_size², so ``n_planes`` sizes the
+    buckets (≈ n/2^planes rows each) and ``n_tables`` buys recall:
+    per-table collision p = (1 - θ/π)^planes, overall 1-(1-p)^tables.
+    Tune planes up with corpus size and threshold down; ``bucket_cap``
+    drops runaway buckets (duplicate-constant embeddings) instead of
+    letting one key quadratically dominate the shuffle.
+    """
+    b = hyperplane_buckets(
+        corpus.select(vec_id, vec), vec, dim, n_planes, n_tables, seed
+    )
+    sizes = b.groupBy("table_id", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
+    keyed = b.join(
+        sizes.where((F.col("bsz") > 1) & (F.col("bsz") <= bucket_cap)),
+        ["table_id", "bucket"],
+        "left_semi",
+    )
+    left = keyed.select(
+        "table_id", "bucket", F.col(vec_id).alias("a"), F.col(vec).alias("va")
+    )
+    right = keyed.select(
+        "table_id", "bucket", F.col(vec_id).alias("b"), F.col(vec).alias("vb")
+    )
+    cand = (
+        left.join(right, ["table_id", "bucket"])
+        .where(F.col("a") < F.col("b"))
+        .select("a", "b", "va", "vb")
+        .dropDuplicates(["a", "b"])  # dedupe across tables BEFORE scoring
+    )
+    return cand.select(
+        "a", "b", cosine(F.col("va"), F.col("vb")).alias("cos")
+    ).where(F.col("cos") >= threshold)
 
 
 def cosine_topk_lsh(

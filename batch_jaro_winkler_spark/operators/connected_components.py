@@ -72,8 +72,11 @@ def _small_star(edges: DataFrame) -> DataFrame:
 
 
 def _local_union_find(pairs) -> list[tuple[int, int]]:
-    """Driver-side union-find with path compression → (node, root) rows."""
+    """Driver-side union-find with path compression → (node, root) rows
+    for EVERY node seen in the edge list, roots included — consistent with
+    the distributed star path, which also emits root self-assignments."""
     parent: dict[int, int] = {}
+    nodes: set[int] = set()
 
     def find(x: int) -> int:
         root = x
@@ -84,13 +87,15 @@ def _local_union_find(pairs) -> list[tuple[int, int]]:
         return root
 
     for a, b in pairs:
+        nodes.add(a)
+        nodes.add(b)
         ra, rb = find(a), find(b)
         if ra != rb:
             if ra < rb:
                 parent[rb] = ra
             else:
                 parent[ra] = rb
-    return [(x, find(x)) for x in list(parent)]
+    return [(x, find(x)) for x in nodes]
 
 
 def connected_components(

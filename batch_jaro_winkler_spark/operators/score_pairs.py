@@ -130,6 +130,7 @@ def score_topk(
     cand_id: str = "cand_id",
     cand_text: str = "cand_text",
     dtype=np.float32,
+    max_probes: int = 100_000,
 ) -> DataFrame:
     """Per-probe top-k over a candidate corpus.
 
@@ -137,7 +138,20 @@ def score_topk(
     partition; each Arrow batch compiles ONE candidate model and scores all
     probes against it (per-batch partial top-k), then a window takes the
     global top-k per probe.  Deterministic tie-break (score desc, cand_id
-    asc) per SURVEY.md O15."""
+    asc) per SURVEY.md O15.
+
+    The probe frame is collected to the driver and broadcast with the
+    closure — correct only for genuinely small probe sets, so the size is
+    guarded by ``max_probes`` (error, not silent collect-the-world).  A
+    probe set too large to broadcast is a pair-scoring problem: route it
+    through :func:`verify_pairs` on LSH candidates instead."""
+    n_probes = probes.count()
+    if n_probes > max_probes:
+        raise ValueError(
+            f"score_topk probe set has {n_probes} rows (> max_probes="
+            f"{max_probes}); collecting it to the driver would not scale — "
+            "use verify_pairs over LSH candidate pairs for large probe sets"
+        )
     probe_rows = [
         (r[0], r[1])
         for r in probes.select(probe_id, probe_text).collect()

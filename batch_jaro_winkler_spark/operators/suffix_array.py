@@ -32,7 +32,10 @@ from batch_jaro_winkler_spark.operators.config import DedupConfig
 
 __all__ = ["suffix_array_edges", "partition_substring_pairs"]
 
-_SEP = 0xFFFD  # separator code point between documents (never matches text)
+# separator sentinel between documents: strictly ABOVE the Unicode range
+# (buffer is uint32), so no real code point — including U+FFFD and astral
+# plane chars common in un-normalized web text — is ever mistaken for one
+_SEP = 0x110000
 
 
 def partition_substring_pairs(
@@ -87,8 +90,11 @@ def partition_substring_pairs(
     s = starts[order]
 
     pairs: set[tuple[int, int]] = set()
-    # runs of equal sampled keys → exact-verify into equivalence classes of
-    # identical min_len prefixes, then chain the distinct owners per class
+    # runs of equal sampled keys → group members by their FULL min_len
+    # prefix (np.unique over the exact prefix rows), then chain the
+    # distinct owners per exact class.  Adjacency-chaining in the sampled
+    # order is NOT enough: a suffix matching only the 16 sampled positions
+    # can interleave between two true matches and split their class.
     key_mat = np.stack([buf[s + off] for off in key_offsets], axis=1)
     same_as_prev = np.all(key_mat[1:] == key_mat[:-1], axis=1)
     j = 0
@@ -97,28 +103,19 @@ def partition_substring_pairs(
         if not same_as_prev[j]:
             j += 1
             continue
-        # run [j, end)
+        # run [j, end) of equal sampled keys
         end = j + 1
         while end < m and same_as_prev[end - 1]:
             end += 1
-        # split run into exact-prefix classes by verifying vs the previous
-        # member; chain distinct owners within each class
-        class_last_owner = owner[s[j]]
-        class_last_doc = int(doc_ids[class_last_owner])
-        for t in range(j + 1, end):
-            p, q = s[t - 1], s[t]
-            o = owner[q]
-            if np.array_equal(buf[p : p + min_len], buf[q : q + min_len]):
-                if o != class_last_owner:
-                    other = int(doc_ids[o])
-                    pairs.add(
-                        (min(class_last_doc, other), max(class_last_doc, other))
-                    )
-                    class_last_owner = o
-                    class_last_doc = other
-            else:  # new exact-prefix class starts at q
-                class_last_owner = o
-                class_last_doc = int(doc_ids[o])
+        idx = s[j:end]
+        prefixes = buf[idx[:, None] + np.arange(min_len)]
+        _, inv = np.unique(prefixes, axis=0, return_inverse=True)
+        for cls in range(int(inv.max()) + 1):
+            owners = np.unique(owner[idx[inv == cls]])
+            if len(owners) > 1:
+                docs = np.sort(doc_ids[owners])
+                for x, y in zip(docs[:-1], docs[1:]):
+                    pairs.add((int(x), int(y)))
         j = end
     return pairs
 
@@ -129,20 +126,58 @@ def suffix_array_edges(
     id_col: str = "doc_id",
     text_col: str = "text",
     pre_normalized: bool = False,
+    co_partition: bool = False,
+    num_partitions: int | None = None,
 ) -> DataFrame:
-    """→ (a, b) exact within-partition substring pairs.  Co-partition by a
-    content-insensitive key upstream (or accept partition-local scope) —
-    the global guarantee comes from combining with fingerprint_dedup."""
+    """→ (a, b) exact within-partition substring pairs.
+
+    ``co_partition=True`` first routes every document to the partition of
+    its minimum ``gram_chars``-gram rolling hash (a deterministic content
+    key), so documents sharing enough verbatim content — in particular
+    full and near-full duplicates, whose global-min gram lies inside the
+    shared region — land in ONE partition regardless of how the input was
+    partitioned.  The guarantee is content-proportional, not absolute: two
+    docs sharing only a short-relative-to-doc block may min on disjoint
+    grams; the probabilistic fingerprint stage (fingerprint_dedup, p_miss
+    ≈ 0.8% per >=200-char overlap) covers that remainder, and the two
+    stages feed the same CC edge set."""
     min_len = cfg.min_substring_chars
     prepped = docs.select(
         F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("norm")
     )
 
+    normalized = pre_normalized
+    if co_partition:
+        from batch_jaro_winkler_spark.operators.fingerprint_dedup import (
+            _rolling_hashes,
+        )
+
+        k = cfg.gram_chars
+
+        def keyed(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                if not pre_normalized:
+                    pdf = pdf.assign(norm=normalize_pandas(pdf["norm"]))
+                ckeys = np.empty(len(pdf), dtype=np.int64)
+                for i, t in enumerate(pdf["norm"]):
+                    codes = np.frombuffer(t.encode("utf-32-le"), dtype="<u4")
+                    h = _rolling_hashes(codes, k)
+                    ckeys[i] = h.min().astype(np.int64) if len(h) else np.int64(0)
+                yield pdf.assign(ckey=ckeys)[["doc_id", "norm", "ckey"]]
+
+        n_parts = num_partitions or docs.sparkSession.sparkContext.defaultParallelism
+        prepped = (
+            prepped.mapInPandas(keyed, schema="doc_id long, norm string, ckey long")
+            .repartition(n_parts, "ckey")
+            .drop("ckey")
+        )
+        normalized = True
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         all_ids: list = []
         all_texts: list = []
         for pdf in batches:
-            if not pre_normalized:
+            if not normalized:
                 pdf = pdf.assign(norm=normalize_pandas(pdf["norm"]))
             all_ids.extend(pdf["doc_id"])
             all_texts.extend(pdf["norm"])

@@ -40,12 +40,14 @@ def extract_text(docs: DataFrame, html_col: str = "html", out_col: str = "text")
     identical html bytes — it is a pure column expression."""
     raw = F.col(html_col).cast("string")
     no_tags = F.regexp_replace(raw, "<[^>]*>", " ")
+    # decode &amp; LAST: decoding it first would double-unescape nested
+    # entities ("&amp;lt;" must yield "&lt;", not "<")
     decoded = F.regexp_replace(
         F.regexp_replace(
-            F.regexp_replace(no_tags, "&amp;", "&"), "&lt;", "<"
+            F.regexp_replace(no_tags, "&lt;", "<"), "&gt;", ">"
         ),
-        "&gt;",
-        ">",
+        "&amp;",
+        "&",
     )
     return docs.withColumn(out_col, F.trim(F.regexp_replace(decoded, "\\s+", " ")))
 
@@ -157,8 +159,18 @@ class DedupPipeline:
         4. connected components over (existing assignments as edges) ∪
            (new edges) → updated total assignment; cluster ids stay
            min(doc_id), so existing ids only change when clusters merge;
-        5. the signatures and clusters checkpoints are rewritten as the
-           union (atomically; an Iceberg backend would append a snapshot).
+        5. the fold is a manifest-level APPEND: the increment's signature
+           checkpoint is registered as a part of the logical signatures
+           table (catalog.add_part — the Iceberg-snapshot story), so the
+           base signature data is never rewritten and increment write cost
+           is O(increment), not O(corpus).  Only the (doc_id, cluster_id)
+           assignment — two longs per doc — is rewritten, because merges
+           can relabel arbitrary old rows.
+
+        Idempotency: docs already in the signature table are anti-joined
+        out, the increment stage key hashes (doc_id, text) so resubmitting
+        changed text never reuses stale checkpoints, and add_part has set
+        semantics — a crashed or double-invoked fold cannot duplicate rows.
 
         The substring stage is batch-only: exact-substring links to old
         docs are picked up at the next full run (documented trade-off —
@@ -173,23 +185,28 @@ class DedupPipeline:
                 "run_incremental needs a completed run's checkpoints with "
                 "the same config (signatures missing or config changed)"
             )
-        old_sigs = self.catalog.read("signatures")
+        old_sigs = self.catalog.read_union("signatures")
         old_clusters = self.catalog.read("clusters")
 
         new_docs = new_docs.select(
             F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text")
         )
+        # drop docs already folded in (rerun-after-crash / double submit)
+        new_docs = new_docs.join(old_sigs.select("doc_id"), "doc_id", "left_anti")
         parallelism = self.spark.sparkContext.defaultParallelism
         if new_docs.rdd.getNumPartitions() < parallelism:
             new_docs = new_docs.repartition(parallelism)
 
         # increment-specific stage names: a second increment must not reuse
         # the previous increment's checkpoints (config hash alone cannot
-        # distinguish inputs)
+        # distinguish inputs); the key covers CONTENT, not just ids, so the
+        # same ids with changed text invalidate
         tok_row = new_docs.agg(
             F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.expr("bit_xor(xxhash64(doc_id))"), F.lit(0)).alias("h"),
+            F.coalesce(F.expr("bit_xor(xxhash64(doc_id, text))"), F.lit(0)).alias("h"),
         ).collect()[0]
+        if tok_row["n"] == 0:
+            return old_clusters
         inc = f"inc_{tok_row['n']}_{tok_row['h'] & 0xFFFFFFFF:08x}"
 
         def _normalize():
@@ -252,9 +269,9 @@ class DedupPipeline:
             ),
         )
 
-        # fold the increment into the base state (atomic overwrite)
-        self.catalog.write(
-            "signatures", old_sigs.unionByName(new_sigs), cfg.config_hash()
-        )
-        self.catalog.write("clusters", clusters, cfg.config_hash())
+        # fold: clusters first (so a crash between the two writes leaves a
+        # state where rerunning re-processes the docs rather than returning
+        # a stale assignment), then manifest-append the signature part
+        clusters = self.catalog.write("clusters", clusters, cfg.config_hash())
+        self.catalog.add_part("signatures", f"signatures_{inc}")
         return clusters

@@ -60,6 +60,45 @@ class Catalog:
     def read(self, name: str) -> DataFrame:
         return self.spark.read.parquet(os.path.join(self._dir(name), "data"))
 
+    # -------------------------------------------------- multi-part tables
+    # Manifest-level append (the Iceberg snapshot story): a logical table
+    # = its base checkpoint + an ordered list of part checkpoints.  An
+    # incremental fold registers the increment's table as a part instead of
+    # rewriting the base — O(increment) I/O, and the base data files never
+    # churn.  A full rewrite (``write``) resets the part list.
+
+    def _parts_path(self, name: str) -> str:
+        return os.path.join(self.root, f"{name}__parts.json")
+
+    def parts(self, name: str) -> list[str]:
+        try:
+            with open(self._parts_path(name)) as fh:
+                return json.load(fh)
+        except (FileNotFoundError, json.JSONDecodeError):
+            return []
+
+    def add_part(self, name: str, part_table: str) -> None:
+        """Register ``part_table`` (an existing checkpoint) as a part of the
+        logical table ``name``.  Idempotent (set semantics) and atomic
+        (tmp-file + rename), so a crashed/rerun fold never duplicates."""
+        if not self.exists(part_table):
+            raise ValueError(f"part table {part_table} has no checkpoint")
+        ps = self.parts(name)
+        if part_table in ps:
+            return
+        ps.append(part_table)
+        tmp = self._parts_path(name) + f".tmp{uuid.uuid4().hex[:8]}"
+        with open(tmp, "w") as fh:
+            json.dump(ps, fh)
+        os.replace(tmp, self._parts_path(name))
+
+    def read_union(self, name: str) -> DataFrame:
+        """The logical table: base checkpoint unioned with all parts."""
+        df = self.read(name)
+        for p in self.parts(name):
+            df = df.unionByName(self.read(p))
+        return df
+
     def write(
         self,
         name: str,
@@ -118,6 +157,9 @@ class Catalog:
         if os.path.exists(table_dir):
             shutil.rmtree(table_dir)
         os.rename(tmp, table_dir)
+        # a full rewrite supersedes any incremental parts
+        if os.path.exists(self._parts_path(name)):
+            os.remove(self._parts_path(name))
         return self.read(name)
 
     def load_or_compute(

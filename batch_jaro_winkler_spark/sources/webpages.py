@@ -29,11 +29,18 @@ def read_webpages(
     validate: bool = True,
     extract_from_html: bool = False,
     check_invariant: bool = False,
+    check_id_collisions: bool = False,
 ) -> DataFrame:
     """→ DataFrame[doc_id, url, warc_ts, html, text, lang].
 
     ``doc_id`` = xxhash64(url): deterministic, join-stable, no window/
     zipWithIndex (a global row-number would serialize a 10^12-row load).
+    64-bit birthday math: at n urls expect ≈ n²/2^65 collisions — ~27k at
+    n = 10^12, i.e. a 2.7e-9 per-doc merge rate, far below the pipeline's
+    own probabilistic miss rates; pass ``check_id_collisions=True`` to
+    measure it exactly (one count-distinct pass: distinct urls vs distinct
+    doc_ids) and fail fast if any collision exists.  Deployments needing
+    zero collisions should carry the url itself as the join key.
     ``extract_from_html`` recomputes text from html (pipeline.extract_text);
     ``check_invariant`` fails fast if any row's stored text differs from
     the re-extraction (the input_hint per-row invariant).
@@ -57,6 +64,16 @@ def read_webpages(
 
     if "url" in df.columns:
         df = df.withColumn("doc_id", F.xxhash64("url"))
+        if check_id_collisions:
+            row = df.agg(
+                F.countDistinct("url").alias("u"),
+                F.countDistinct("doc_id").alias("d"),
+            ).collect()[0]
+            if row["u"] != row["d"]:
+                raise ValueError(
+                    f"doc_id collisions: {row['u']} distinct urls hash to "
+                    f"{row['d']} distinct doc_ids"
+                )
     elif "doc_id" not in df.columns:
         df = df.withColumn("doc_id", F.xxhash64("text"))
 

@@ -338,3 +338,126 @@ def test_suffix_array_edges_spark(spark):
         for r in suffix_array_edges(docs, DedupConfig(min_substring_chars=200)).collect()
     }
     assert got == {(0, 1)}, got
+
+
+def test_suffix_array_sampled_key_interloper():
+    """ADVICE repro: a suffix equal to two true matches at ONLY the 16
+    sampled key offsets interleaves between them in the sorted run; the
+    exact-prefix class grouping must still pair the true matches."""
+    from batch_jaro_winkler_spark.operators.suffix_array import (
+        partition_substring_pairs,
+    )
+
+    min_len = 200
+    offs = np.linspace(0, min_len - 1, 16).astype(np.int64)
+    rng = np.random.default_rng(7)
+    block = "".join(chr(97 + c) for c in rng.integers(0, 26, min_len))
+    decoy = ["x"] * min_len
+    for o in offs:
+        decoy[int(o)] = block[int(o)]
+    decoy = "".join(decoy)
+    texts = ["p" * 10 + block, "q" * 10 + decoy, "r" * 10 + block]
+    pairs = partition_substring_pairs(np.arange(3, dtype=np.int64), texts, min_len)
+    assert (0, 2) in pairs, pairs
+    assert not any(1 in p for p in pairs), pairs  # decoy is NOT a real match
+
+
+def test_suffix_array_astral_plane_not_separator():
+    """U+FFFD and astral-plane chars are real web text, not separators:
+    a shared block that has no 200-char stretch free of them must still
+    pair (the sentinel lives above 0x10FFFF)."""
+    from batch_jaro_winkler_spark.operators.suffix_array import (
+        partition_substring_pairs,
+    )
+
+    block = ("abcdefgh" * 12 + "\U0001F389" + "ijklmnop" * 12 + "�") * 3
+    texts = ["one " * 20 + block, block + " two" * 20, "unrelated " * 50]
+    pairs = partition_substring_pairs(np.arange(3, dtype=np.int64), texts, 200)
+    assert (0, 1) in pairs, pairs
+
+
+def test_suffix_array_co_partition(spark):
+    """Full duplicates split across input partitions are reunited by the
+    content-key repartition (their global-min gram is identical), so the
+    suffix-array stage finds them WITHOUT the fingerprint stage."""
+    from batch_jaro_winkler_spark.operators.suffix_array import suffix_array_edges
+
+    rng = np.random.default_rng(3)
+
+    def doc(seed_words):
+        return " ".join(seed_words[i % len(seed_words)] for i in range(120))
+
+    words_a = [f"alpha{c}" for c in rng.integers(0, 999, 40)]
+    words_b = [f"beta{c}" for c in rng.integers(0, 999, 40)]
+    dup_a, dup_b = doc(words_a), doc(words_b)
+    rows = [(0, dup_a), (17, dup_a), (5, dup_b), (23, dup_b)]
+    rows += [(100 + i, doc([f"fill{i}x{c}" for c in rng.integers(0, 999, 40)]))
+             for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string").repartition(
+        8, "doc_id"
+    )
+    cfg = DedupConfig(min_substring_chars=200)
+    got = {
+        (r["a"], r["b"])
+        for r in suffix_array_edges(docs, cfg, co_partition=True).collect()
+    }
+    assert {(0, 17), (5, 23)} <= got, got
+
+
+def test_cc_local_union_find_emits_roots(spark):
+    """The local union-find endgame must return a row for EVERY node,
+    component roots included, without relying on all_nodes backfill."""
+    from batch_jaro_winkler_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a long, b long"
+    )
+    got = {
+        r["doc_id"]: r["cluster_id"] for r in connected_components(edges).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}, got
+
+
+def test_extract_text_nested_entities(spark):
+    from batch_jaro_winkler_spark.pipeline import extract_text
+
+    df = spark.createDataFrame(
+        [(1, b"<p>&amp;lt;tag&amp;gt; &amp; x &lt;y&gt;</p>")],
+        "doc_id long, html binary",
+    )
+    out = extract_text(df, "html", "text").collect()[0]["text"]
+    assert out == "&lt;tag&gt; & x <y>", out
+
+
+def test_embedding_dup_pairs_lsh_recall(spark):
+    """Planted near-dups (cos ~0.99): the bucketed pair generator must
+    reach >=0.95 recall vs brute force with NO cartesian join in the plan."""
+    from batch_jaro_winkler_spark.operators.ann import embedding_dup_pairs_lsh
+
+    rng = np.random.default_rng(5)
+    dim, n_base, n_dup = 32, 200, 100
+    base = rng.standard_normal((n_base, dim)).astype(np.float32)
+    dup_src = rng.integers(0, n_base, n_dup)
+    dups = base[dup_src] + 0.05 * rng.standard_normal((n_dup, dim)).astype(np.float32)
+    vecs = np.vstack([base, dups])
+    emb = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    # brute-force ground truth at the threshold
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    cos = norm @ norm.T
+    iu = np.triu_indices(len(vecs), 1)
+    truth = {
+        (int(a), int(b))
+        for a, b in zip(iu[0][cos[iu] >= 0.9], iu[1][cos[iu] >= 0.9])
+    }
+    lsh = embedding_dup_pairs_lsh(emb, threshold=0.9, dim=dim, n_planes=8, n_tables=8)
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    got = {(r["a"], r["b"]) for r in lsh.collect()}
+    assert got <= truth  # exact re-rank: no false positives
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.95, f"recall {recall:.3f} ({len(got)}/{len(truth)})"

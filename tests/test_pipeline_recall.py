@@ -139,3 +139,68 @@ def test_incremental_run(spark, tmp_path_factory):
     # old assignments unchanged (no merges induced here)
     unchanged = sum(1 for d, c in base_clusters.items() if updated[d] == c)
     assert unchanged == 300
+
+
+def test_incremental_append_idempotent(spark, tmp_path_factory):
+    """The fold is a manifest-level append: base signature data files are
+    never rewritten, reruns of the same increment do not duplicate rows,
+    and same-ids-changed-text gets a fresh increment key."""
+    import os
+
+    from batch_jaro_winkler_spark.fixtures import make_corpus
+
+    base = make_corpus(n_rows=100, seed=21)
+    docs = spark.createDataFrame(
+        [(i, r["text"]) for i, r in enumerate(base.rows)], "doc_id long, text string"
+    )
+    root = str(tmp_path_factory.mktemp("incap"))
+    cfg = DedupConfig()
+    pipe = DedupPipeline(spark, cfg, root)
+    pipe.run(docs, "doc_id", "text")
+
+    sig_data = os.path.join(root, "signatures", "data")
+    before = {
+        f: os.path.getmtime(os.path.join(sig_data, f)) for f in os.listdir(sig_data)
+    }
+
+    new_docs = spark.createDataFrame(
+        [(500 + j, f"an entirely new incremental document {j} " * 15) for j in range(6)],
+        "doc_id long, text string",
+    )
+    pipe2 = DedupPipeline(spark, cfg, root)
+    first = {
+        r["doc_id"]: r["cluster_id"] for r in pipe2.run_incremental(new_docs).collect()
+    }
+    assert len(first) == 106
+
+    # base signature data files untouched (append, not rewrite)
+    after = {
+        f: os.path.getmtime(os.path.join(sig_data, f)) for f in os.listdir(sig_data)
+    }
+    assert before == after
+    parts = pipe2.catalog.parts("signatures")
+    assert len(parts) == 1 and parts[0].startswith("signatures_inc_6_")
+
+    # rerun of the SAME increment: no duplicate signature rows, same output
+    pipe3 = DedupPipeline(spark, cfg, root)
+    again = {
+        r["doc_id"]: r["cluster_id"] for r in pipe3.run_incremental(new_docs).collect()
+    }
+    assert again == first
+    assert pipe3.catalog.parts("signatures") == parts
+    sig_ids = pipe3.catalog.read_union("signatures").select("doc_id")
+    assert sig_ids.count() == sig_ids.distinct().count() == 106
+
+    # same ids, CHANGED text → fresh increment key (content-hashed), and the
+    # anti-join keeps already-folded ids out rather than re-signing them
+    changed = spark.createDataFrame(
+        [(500, "totally different replacement text " * 15), (900, "brand new doc " * 15)],
+        "doc_id long, text string",
+    )
+    pipe4 = DedupPipeline(spark, cfg, root)
+    third = {
+        r["doc_id"]: r["cluster_id"] for r in pipe4.run_incremental(changed).collect()
+    }
+    assert len(third) == 107  # only 900 was new; 500 stayed folded
+    assert 900 in third
+    assert len(pipe4.catalog.parts("signatures")) == 2
