@@ -116,6 +116,21 @@ class CandidateModel:
     # Length-ordered ids make the min_score length-band a contiguous id
     # range, so every per-char index step slices instead of masking.
     orig_ids: np.ndarray | None = None
+    # hot-loop auxiliaries (sequential per-group reads replace random
+    # per-candidate gathers), rebuilt lazily for models pickled before
+    # they existed (_ensure_aux).  Groups are split by occurrence count:
+    # single-occurrence groups (s_*: char, cand, the one position, cand
+    # length) resolve without cursors; multi-occurrence groups (m2_*) keep
+    # the resume-cursor walk.  Both splits stay sorted by (char, cand).
+    s_char: np.ndarray | None = None
+    s_cand: np.ndarray | None = None
+    s_pos: np.ndarray | None = None
+    s_len: np.ndarray | None = None
+    m2_char: np.ndarray | None = None
+    m2_cand: np.ndarray | None = None
+    m2_start: np.ndarray | None = None
+    m2_end: np.ndarray | None = None
+    m2_len: np.ndarray | None = None
 
     @property
     def nb_candidates(self) -> int:
@@ -185,7 +200,7 @@ def build_model(candidates, min_scores=None) -> CandidateModel:
         has = lengths > k
         first4[has, k] = codes[offsets[:-1][has] + k]
 
-    return CandidateModel(
+    model = CandidateModel(
         codes=codes,
         offsets=offsets,
         lengths=lengths,
@@ -198,6 +213,32 @@ def build_model(candidates, min_scores=None) -> CandidateModel:
         min_scores=min_scores,
         orig_ids=orig_ids,
     )
+    _ensure_aux(model)
+    return model
+
+
+def _ensure_aux(model: CandidateModel) -> None:
+    """Populate the hot-loop auxiliary arrays (idempotent; also upgrades
+    models pickled before these fields existed)."""
+    if model.s_char is not None:
+        return
+    size = (model.group_end.astype(np.int64) - model.group_start).astype(np.int32)
+    glen = model.lengths[model.group_cand].astype(np.int32)
+    single = size == 1
+    model.s_char = model.group_char[single]
+    model.s_cand = model.group_cand[single]
+    model.s_pos = (
+        model.pos_flat[model.group_start[single]]
+        if len(model.pos_flat)
+        else np.empty(0, dtype=np.int32)
+    )
+    model.s_len = glen[single]
+    multi = ~single
+    model.m2_char = model.group_char[multi]
+    model.m2_cand = model.group_cand[multi]
+    model.m2_start = model.group_start[multi]
+    model.m2_end = model.group_end[multi]
+    model.m2_len = glen[multi]
 
 
 def _required_matches(
@@ -260,8 +301,274 @@ def _length_band(model: CandidateModel, input_len: int, s_floor: float, w: float
     return lo, hi
 
 
-def _score_pass(
+_EMPTY_MATCHES = (
+    np.empty(0, dtype=np.int32),
+    np.empty(0, dtype=np.int32),
+    np.empty(0, dtype=np.int32),
+    np.empty(0, dtype=np.uint32),
+)
+
+
+def _scan(
     model: CandidateModel,
+    in_codes_all: np.ndarray,
+    input_len: int,
+    id_slices: list[tuple[int, int]],
+    detail: bool,
+):
+    """Greedy per-(char,candidate) matches (O10 semantics, runtime.h:323-371)
+    for candidates whose internal id lies in the given disjoint [lo, hi)
+    slices.  ``detail=True`` → (cand, input_pos, cand_pos, char) match
+    arrays; ``detail=False`` → only the matched-candidate id arrays (for
+    match COUNTS — selective passes recover transpositions per survivor).
+
+    One pass per DISTINCT input char over that char's contiguous group
+    range: single-occurrence groups (the overwhelming majority in web text)
+    resolve in closed form — the single candidate position p is matched by
+    the first input occurrence i with p ∈ [i-r, i+r], i.e. the first i >=
+    p-r (earlier occurrences can never have consumed p: consumption needs
+    p < i'-r, impossible for i' < i) — so two compares (or one vectorized
+    searchsorted when the char repeats in the input) replace the
+    per-input-char cursor loop.  Multi-occurrence groups keep the exact
+    resume-cursor walk, vectorized over just those groups.  All per-group
+    reads (size, candidate length, first position) are sequential slices
+    of compile-time arrays.
+    """
+    mc_l: list[np.ndarray] = []
+    mi_l: list[np.ndarray] = []
+    mp_l: list[np.ndarray] = []
+    mch_l: list[np.ndarray] = []
+    if not input_len or not len(model.group_char):
+        return mc_l, mi_l, mp_l, mch_l
+    _ensure_aux(model)
+    s_char, s_cand, s_pos, s_len = model.s_char, model.s_cand, model.s_pos, model.s_len
+    m2_char, m2_cand = model.m2_char, model.m2_cand
+    m2_start, m2_end, m2_len = model.m2_start, model.m2_end, model.m2_len
+    pos_flat = model.pos_flat
+    pf_last = len(pos_flat) - 1
+    Li = int(input_len)
+    r_in = Li // 2
+    r_in = 0 if r_in <= 1 else r_in - 1  # scalar window when cand_len <= Li
+    have_multi = len(m2_char) > 0
+
+    # distinct input chars with their ascending position lists
+    order = np.argsort(in_codes_all, kind="stable").astype(np.int32)
+    sorted_chars = in_codes_all[order]
+    newc = np.empty(input_len, dtype=bool)
+    newc[0] = True
+    np.not_equal(sorted_chars[1:], sorted_chars[:-1], out=newc[1:])
+    starts = np.flatnonzero(newc)
+    ends = np.append(starts[1:], input_len)
+
+    def emit_single(g0: int, g1: int, r, ch, I, nI: int, i0: int):
+        p = s_pos[g0:g1]
+        if nI == 1:
+            # the only input occurrence either fits or not: |p - i0| <= r
+            ok = np.abs(p - np.int32(i0)) <= r
+            jj = None
+        else:
+            j = np.searchsorted(I, p - r, side="left")
+            ok = j < nI
+            jj = np.minimum(j, nI - 1)
+            ok &= I[jj] <= p + r
+        hits = s_cand[g0:g1][ok]
+        if len(hits):
+            mc_l.append(hits)
+            if detail:
+                mi_l.append(
+                    np.full(len(hits), i0, dtype=np.int32)
+                    if jj is None
+                    else I[jj[ok]]
+                )
+                mp_l.append(p[ok])
+                mch_l.append(np.full(len(hits), ch, dtype=np.uint32))
+
+    for s0, s1 in zip(starts, ends):
+        ch = sorted_chars[s0]
+        I = order[s0:s1]  # stable argsort → ascending input positions
+        nI = int(s1 - s0)
+        i0 = int(I[0])
+        # value dtypes MUST match the array dtypes: a mismatch makes
+        # searchsorted cast the whole haystack per call
+        chpair = np.asarray([ch, ch + 1], dtype=s_char.dtype)
+        # --- single-occurrence groups ---
+        c0, c1 = np.searchsorted(s_char, chpair, side="left")
+        if c0 < c1:
+            seg = s_cand[c0:c1]
+            for lo, hi in id_slices:
+                if lo >= hi:
+                    continue
+                # s_cand ascending within the char segment: band slice
+                g0, g1 = (
+                    c0
+                    + np.searchsorted(
+                        seg, np.asarray([lo, hi], dtype=seg.dtype), side="left"
+                    )
+                )
+                if g0 == g1:
+                    continue
+                # ids are length ranks → s_len ascending: split at cand_len
+                # <= Li (scalar window r_in) vs > Li (vector window)
+                mid = g0 + int(np.searchsorted(s_len[g0:g1], Li, side="right"))
+                if g0 < mid:
+                    emit_single(g0, mid, np.int32(r_in), ch, I, nI, i0)
+                if mid < g1:
+                    # "0 if r <= 1 else r - 1" == max(r - 1, 0): one pass
+                    r = np.maximum((s_len[mid:g1] >> 1) - np.int32(1), np.int32(0))
+                    emit_single(mid, g1, r, ch, I, nI, i0)
+        # --- multi-occurrence groups: exact resume-cursor walk ---
+        if not have_multi:
+            continue
+        c0, c1 = np.searchsorted(m2_char, chpair, side="left")
+        if c0 == c1:
+            continue
+        for lo, hi in id_slices:
+            if lo >= hi:
+                continue
+            g0, g1 = (
+                c0
+                + np.searchsorted(
+                    m2_cand[c0:c1],
+                    np.asarray([lo, hi], dtype=m2_cand.dtype),
+                    side="left",
+                )
+            )
+            if g0 == g1:
+                continue
+            rm = np.maximum(m2_len[g0:g1], np.int32(Li)) >> 1
+            rm = np.maximum(rm - np.int32(1), np.int32(0))
+            cur = m2_start[g0:g1].astype(np.int64)
+            end = m2_end[g0:g1]
+            cm = m2_cand[g0:g1]
+            for i_pos in I:
+                lo_w = i_pos - rm
+                while True:  # resume cursors past dead occurrences
+                    pos = pos_flat[np.minimum(cur, pf_last)]
+                    adv = (cur < end) & (pos < lo_w)
+                    if not adv.any():
+                        break
+                    cur[adv] += 1
+                pos = pos_flat[np.minimum(cur, pf_last)]
+                hitm = (cur < end) & (pos <= i_pos + rm)
+                if hitm.any():
+                    h = np.flatnonzero(hitm)
+                    mc_l.append(cm[h])
+                    if detail:
+                        mi_l.append(np.full(len(h), i_pos, dtype=np.int32))
+                        mp_l.append(pos[h])
+                        mch_l.append(np.full(len(h), ch, dtype=np.uint32))
+                    cur[h] += 1
+    return mc_l, mi_l, mp_l, mch_l
+
+
+def _collect_matches(
+    model: CandidateModel,
+    in_codes_all: np.ndarray,
+    input_len: int,
+    id_slices: list[tuple[int, int]],
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Detail-mode scan → concatenated (cand, input_pos, cand_pos, char)."""
+    mc_l, mi_l, mp_l, mch_l = _scan(
+        model, in_codes_all, input_len, id_slices, detail=True
+    )
+    if not mc_l:
+        return _EMPTY_MATCHES
+    return (
+        np.concatenate(mc_l),
+        np.concatenate(mi_l),
+        np.concatenate(mp_l),
+        np.concatenate(mch_l),
+    )
+
+
+def _collect_counts(
+    model: CandidateModel,
+    in_codes_all: np.ndarray,
+    input_len: int,
+    id_slices: list[tuple[int, int]],
+) -> np.ndarray:
+    """Counts-mode scan → per-candidate match count m (length n)."""
+    mc_l, _, _, _ = _scan(model, in_codes_all, input_len, id_slices, detail=False)
+    n = model.nb_candidates
+    if not mc_l:
+        return np.zeros(n, dtype=np.int64)
+    return np.bincount(
+        np.concatenate(mc_l) if len(mc_l) > 1 else mc_l[0], minlength=n
+    )
+
+
+def _transpositions_for(
+    model: CandidateModel, in_codes: list, input_len: int, cand_ids: np.ndarray
+) -> np.ndarray:
+    """Exact transposition counts for a SMALL survivor set via the scalar
+    greedy walk (same semantics as the scan; parity enforced by the
+    behavior/property suites which cross-check against score_pair)."""
+    out = np.zeros(len(cand_ids), dtype=np.int64)
+    codes, offsets = model.codes, model.offsets
+    for k, cid in enumerate(cand_ids):
+        c0, c1 = int(offsets[cid]), int(offsets[cid + 1])
+        cand = codes[c0:c1].tolist()
+        lc = c1 - c0
+        r = max(lc, input_len) // 2
+        r = 0 if r <= 1 else r - 1
+        occ: dict[int, list[int]] = {}
+        for j, c in enumerate(cand):
+            occ.setdefault(c, []).append(j)
+        cur: dict[int, int] = {}
+        a_chars: list[int] = []
+        b_matches: list[tuple[int, int]] = []
+        for i, c in enumerate(in_codes):
+            lst = occ.get(c)
+            if lst is None:
+                continue
+            kk = cur.get(c, 0)
+            nn = len(lst)
+            lo = i - r
+            while kk < nn and lst[kk] < lo:
+                kk += 1
+            if kk < nn and lst[kk] <= i + r:
+                a_chars.append(c)
+                b_matches.append((lst[kk], c))
+                kk += 1
+            cur[c] = kk
+        if len(a_chars) > 1:
+            b_matches.sort()
+            out[k] = (
+                sum(ca != cb for ca, (_, cb) in zip(a_chars, b_matches)) // 2
+            )
+    return out
+
+
+def _t_from_matches(
+    matches: tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray],
+    m: np.ndarray,
+    matched: np.ndarray,
+    n: int,
+) -> np.ndarray:
+    """Transpositions (O11) from detail matches: only candidates that pass
+    AND have >= 2 matches can transpose — sort that (smaller) subset by
+    (cand, input_pos) and (cand, cand_pos) and count char mismatches."""
+    t = np.zeros(n, dtype=np.int64)
+    mc, mi, mp, mch = matches
+    if len(mc):
+        sel = matched[mc] & (m[mc] > 1)
+        if sel.any():
+            mc2, mch2 = mc[sel], mch[sel]
+            # pack (cand, pos) into one int64 key: a single-key argsort is
+            # ~2x a two-key lexsort, and positions are int32-bounded
+            base = mc2.astype(np.int64) << 32
+            by_i = np.argsort(base | mi[sel].astype(np.int64))
+            by_pos = np.argsort(base | mp[sel].astype(np.int64))
+            diff = mch2[by_i] != mch2[by_pos]
+            t = np.bincount(mc2[by_i][diff], minlength=n) >> 1
+    return t
+
+
+def _finalize_scores(
+    model: CandidateModel,
+    m: np.ndarray,
+    idx: np.ndarray,
+    t_idx: np.ndarray,
     in_codes_all: np.ndarray,
     input_len: int,
     eff_min: np.ndarray,
@@ -269,93 +576,13 @@ def _score_pass(
     thr: float,
     dtype,
 ) -> tuple[np.ndarray, np.ndarray]:
-    """One full scoring pass (internal candidate ids)."""
-    n = model.nb_candidates
+    """(m, survivors idx, per-survivor transpositions) → (idx, sc) after
+    the min_score filter (O14) and zero-match emission, with Jaro (O12)
+    and Winkler (O13) arithmetic identical to the reference."""
     lengths = model.lengths
-
-    # --- pruning bounds (O9) + length band (R1) ---
-    required = _required_matches(lengths, input_len, eff_min, w).astype(np.int32)
-    search_range = np.maximum(lengths, input_len) // 2
-    search_range = np.where(search_range <= 1, 0, search_range - 1).astype(np.int32)
-    band_lo, band_hi = _length_band(
-        model, input_len, float(eff_min.min()) if n else 0.0, w
-    )
-
-    # --- match finding (O10): loop over input chars, vectorized over the
-    # char's (char,candidate) occurrence groups, sliced to the band ---
-    m = np.zeros(n, dtype=np.int32)
-    match_cand: list[np.ndarray] = []
-    match_char: list[np.ndarray] = []
-    match_pos: list[np.ndarray] = []
-    if input_len and len(model.group_char) and band_lo < band_hi:
-        prunable = bool(required.max() > 0) if n else False
-        cur = model.group_start.copy()
-        gchar = model.group_char
-        gcand = model.group_cand
-        full_band = band_lo == 0 and band_hi == n
-        for i in range(input_len):
-            ch = in_codes_all[i]
-            g0 = np.searchsorted(gchar, ch, side="left")
-            g1 = np.searchsorted(gchar, ch, side="right")
-            if g0 == g1:
-                continue
-            if not full_band:
-                # group_cand ascending within the char segment: band slice
-                g0 = g0 + int(np.searchsorted(gcand[g0:g1], band_lo, side="left"))
-                g1 = g0 + int(np.searchsorted(gcand[g0:g1], band_hi, side="left"))
-                if g0 == g1:
-                    continue
-            g = np.arange(g0, g1, dtype=np.int32)
-            cands = gcand[g0:g1]
-            if prunable:  # early abandon (runtime.h:348-349)
-                alive = m[cands] + np.int32(input_len - i) >= required[cands]
-                g = g[alive]
-                if not len(g):
-                    continue
-                cands = cands[alive]
-            end = model.group_end[g]
-            low = i - search_range[cands]
-            high = i + search_range[cands]
-            # advance resume cursors past dead (below-window) occurrences
-            while True:
-                c = cur[g]
-                adv = (c < end) & (model.pos_flat[np.minimum(c, len(model.pos_flat) - 1)] < low)
-                if not adv.any():
-                    break
-                cur[g[adv]] = c[adv] + 1
-            c = cur[g]
-            ok = c < end
-            pos = model.pos_flat[np.minimum(c, len(model.pos_flat) - 1)]
-            hit = ok & (pos <= high)
-            if hit.any():
-                hg = g[hit]
-                hc = cands[hit]
-                m[hc] += 1
-                cur[hg] += 1
-                match_cand.append(hc)
-                match_char.append(np.full(len(hc), ch, dtype=np.uint32))
-                match_pos.append(pos[hit])
-
-    # --- transpositions (O11) ---
-    t = np.zeros(n, dtype=np.int64)
-    if match_cand:
-        mc = np.concatenate(match_cand)
-        mch = np.concatenate(match_char)
-        mp = np.concatenate(match_pos)
-        # append order is input-position order; stable sort groups by candidate
-        by_i = np.argsort(mc, kind="stable")
-        by_pos = np.lexsort((mp, mc))
-        diff = mch[by_i] != mch[by_pos]
-        np.add.at(t, mc[by_i][diff], 1)
-        t //= 2
-
-    # --- score (O12) + winkler bonus (O13), reference operation order ---
-    passing = m >= required
-    matched = passing & (m > 0)
-    idx = np.flatnonzero(matched)
     fm = m[idx].astype(dtype)
     fl = lengths[idx].astype(dtype)
-    ft = t[idx].astype(dtype)
+    ft = t_idx.astype(dtype)
     sc = (fm / dtype(input_len) + fm / fl + (fm - ft) / fm) / dtype(3.0)
     if w >= 0.0:
         boost = sc >= dtype(thr)
@@ -367,21 +594,177 @@ def _score_pass(
             # common prefix length: cumulative AND over the first 4 chars
             run = np.cumprod(eq, axis=1)
             pl = np.minimum(run.sum(axis=1), plen).astype(dtype)
-            sc = np.where(
-                boost, sc + pl * dtype(w) * (dtype(1.0) - sc), sc
-            )
+            sc = np.where(boost, sc + pl * dtype(w) * (dtype(1.0) - sc), sc)
     keep = sc >= eff_min[idx]
     idx = idx[keep]
     sc = sc[keep]
+    return idx, sc
 
-    # --- zero-match emission (runtime.h:429-438) ---
-    zm = np.flatnonzero(passing & (m == 0) & (eff_min <= 0.0))
+
+def _emit_zero_matches(idx, sc, m, required, eff_min, dtype):
+    """Zero-match emission (runtime.h:429-438): m == 0 candidates whose
+    effective min_score is <= 0 are emitted with score 0.0."""
+    if not len(eff_min) or float(eff_min.min()) > 0.0:
+        return idx, sc
+    zm = np.flatnonzero((m == 0) & (np.int64(0) >= required) & (eff_min <= 0.0))
     if len(zm):
         all_idx = np.concatenate([idx, zm])
         all_sc = np.concatenate([sc, np.zeros(len(zm), dtype=dtype)])
         order = np.argsort(all_idx, kind="stable")
         idx, sc = all_idx[order], all_sc[order]
     return idx, sc
+
+
+# selective passes (min_score floor this high) use counts-mode scanning +
+# per-survivor scalar transpositions; below it, detail mode is cheaper
+_COUNTS_MODE_FLOOR = 0.7
+# survivor budget for the scalar transposition walk (units of survivor ×
+# input chars): above it, fall back to a detail-mode scan (vectorized
+# lexsort transpositions)
+_PAIR_T_BUDGET = 50_000
+
+
+def _topk_from_counts(
+    model: CandidateModel,
+    m: np.ndarray,
+    band: tuple[int, int],
+    in_codes_all: np.ndarray,
+    input_len: int,
+    eff_min: np.ndarray,
+    w: float,
+    thr: float,
+    dtype,
+    k: int,
+) -> tuple[np.ndarray, np.ndarray, bool]:
+    """Exact top-k from match counts WITHOUT a detail scan: a score with
+    t=0 is an upper bound (transpositions only subtract, and the Winkler
+    boost is monotone in the base score), so survivors are visited in
+    ub-descending order with exact transpositions from the scalar greedy
+    walk, stopping as soon as the k-th best exact score dominates every
+    remaining upper bound.  → (top_idx, top_sc, enough) where ``enough``
+    says >= k results passed (the ladder's rung-success test).
+
+    The required-matches bound is evaluated on the band slice only —
+    outside the band m is 0 and scores cannot pass (except zero-match
+    emission, which only applies when the floor is <= 0, i.e. full band).
+    """
+    n = model.nb_candidates
+    lo, hi = band
+    req_band = _required_matches(
+        model.lengths[lo:hi], input_len, eff_min[lo:hi], w
+    )
+    m_band = m[lo:hi]
+    idx0 = lo + np.flatnonzero((m_band >= req_band) & (m_band > 0))
+    got_idx: list[int] = []
+    got_sc: list = []
+    if len(idx0):
+        ub_idx, ub_sc = _finalize_scores(
+            model, m, idx0,
+            np.zeros(len(idx0), dtype=np.int64),
+            in_codes_all, input_len, eff_min, w, thr, dtype,
+        )
+        if len(ub_idx):
+            # ub-descending, idx-ascending processing order; argpartition
+            # prefilter keeps the sort O(B log B) for huge survivor sets
+            B = max(4 * k, 1024)
+            while True:
+                if len(ub_idx) > 2 * B:
+                    part = np.argpartition(-ub_sc, B)[: B + 1]
+                    spill = float(ub_sc[part[-1]])
+                    cand = part[:B]
+                else:
+                    cand = np.arange(len(ub_idx))
+                    spill = -1.0
+                order = np.lexsort((ub_idx[cand], -ub_sc[cand]))
+                sel = cand[order]
+                in_list = in_codes_all.tolist()
+                kth = None
+                pos = 0
+                got_idx, got_sc = [], []
+                chunk = max(k, 64)
+                while pos < len(sel):
+                    if kth is not None and float(ub_sc[sel[pos]]) < kth:
+                        break
+                    part_ids = ub_idx[sel[pos : pos + chunk]]
+                    t_part = _transpositions_for(model, in_list, input_len, part_ids)
+                    e_idx, e_sc = _finalize_scores(
+                        model, m, part_ids, t_part,
+                        in_codes_all, input_len, eff_min, w, thr, dtype,
+                    )
+                    got_idx.extend(int(x) for x in e_idx)
+                    got_sc.extend(float(s) for s in e_sc)
+                    if len(got_sc) >= k:
+                        kth = sorted(got_sc, reverse=True)[k - 1]
+                    pos += chunk
+                # widen if the k-th exact doesn't dominate the spilled ubs
+                if kth is not None and kth > spill:
+                    break
+                if spill < 0 or B >= len(ub_idx):
+                    break
+                B *= 4
+    enough = len(got_sc) >= k
+    gi = np.asarray(got_idx, dtype=np.int64)
+    gs = np.asarray(got_sc, dtype=dtype)
+    if not enough and float(eff_min.min() if n else 1.0) <= 0.0:
+        # zero-match emission fills the remainder (score 0.0); ties among
+        # zeros break on ORIGINAL ids, so pick the fill in that order.
+        # floor <= 0 forces a full band, so req_band covers every candidate
+        zm = np.flatnonzero((m == 0) & (np.int64(0) >= req_band) & (eff_min <= 0.0))
+        if len(zm):
+            need = max(0, k - len(got_sc))
+            if model.orig_ids is not None:
+                zm = zm[np.argsort(model.orig_ids[zm])[:need]]
+            else:
+                zm = zm[:need]
+            gi = np.concatenate([gi, zm])
+            gs = np.concatenate([gs, np.zeros(len(zm), dtype=dtype)])
+            enough = len(gi) >= k
+    # untruncated: the caller truncates after mapping back to original ids
+    return gi, gs, enough
+
+
+def _score_pass(
+    model: CandidateModel,
+    in_codes_all: np.ndarray,
+    input_len: int,
+    eff_min: np.ndarray,
+    w: float,
+    thr: float,
+    dtype,
+) -> tuple[np.ndarray, np.ndarray]:
+    """One full scoring pass (internal candidate ids)."""
+    n = model.nb_candidates
+    floor = float(eff_min.min()) if n else 0.0
+    band = _length_band(model, input_len, floor, w)
+    slices = [band]
+    if floor >= _COUNTS_MODE_FLOOR:
+        # selective pass: counts-mode scan, required-bound filter evaluated
+        # on the band slice only, scalar transpositions per survivor
+        # (floor > 0 → zero-match emission can never fire)
+        lo, hi = band
+        m = _collect_counts(model, in_codes_all, input_len, slices)
+        req_band = _required_matches(
+            model.lengths[lo:hi], input_len, eff_min[lo:hi], w
+        )
+        m_band = m[lo:hi]
+        idx = lo + np.flatnonzero((m_band >= req_band) & (m_band > 0))
+        if len(idx) * (input_len + 1) <= _PAIR_T_BUDGET:
+            t_idx = _transpositions_for(
+                model, in_codes_all.tolist(), input_len, idx
+            )
+            return _finalize_scores(
+                model, m, idx, t_idx, in_codes_all, input_len, eff_min, w, thr, dtype
+            )
+    required = _required_matches(model.lengths, input_len, eff_min, w)
+    matches = _collect_matches(model, in_codes_all, input_len, slices)
+    m = np.bincount(matches[0], minlength=n)
+    matched = (m >= required) & (m > 0)
+    idx = np.flatnonzero(matched)
+    t = _t_from_matches(matches, m, matched, n)
+    idx2, sc = _finalize_scores(
+        model, m, idx, t[idx], in_codes_all, input_len, eff_min, w, thr, dtype
+    )
+    return _emit_zero_matches(idx2, sc, m, required, eff_min, dtype)
 
 
 def score(
@@ -450,15 +833,58 @@ def score(
         t1 = t0 - 0.2
         tries = [t for t in (t0, t1) if t > base_val]
         tries.append(base_val)
+        # rung descent REUSES match state: a lower rung's length band is a
+        # superset of the previous rung's, so only the band-difference id
+        # slices are scanned fresh; scoring/filtering re-runs per rung over
+        # the accumulated counts/matches (cheap next to scanning).  High
+        # rungs use counts-mode (selective → few survivors, scalar
+        # transpositions); the first low rung switches to detail mode.
         idx = sc = None
+        m_acc = None
+        matches = None
+        cov = None
+        # small k: counts-mode scans + upper-bound top-k (scalar
+        # transpositions only for contenders); large k: detail-mode scans
+        # with vectorized transpositions — both reuse state across rungs
+        k_small = k * (input_len + 1) <= _PAIR_T_BUDGET
         for t_val in tries:
             eff = np.maximum(eff_base, dtype(t_val)) if t_val > 0 else eff_base
-            idx, sc = _score_pass(model, in_codes_all, input_len, eff, w, thr, dtype)
-            if len(idx) >= k:
-                break
-        order = np.lexsort((idx, -sc))[: min(k, len(idx))]
-        idx, sc = idx[order], sc[order]
-
+            floor = float(eff.min())
+            band = _length_band(model, input_len, floor, w)
+            new_slices = (
+                [band] if cov is None else [(band[0], cov[0]), (cov[1], band[1])]
+            )
+            if k_small:
+                mnew = _collect_counts(model, in_codes_all, input_len, new_slices)
+                m_acc = mnew if m_acc is None else m_acc + mnew
+                cov = band
+                idx, sc, enough = _topk_from_counts(
+                    model, m_acc, band, in_codes_all, input_len,
+                    eff, w, thr, dtype, k,
+                )
+                if enough:
+                    break
+            else:
+                required = _required_matches(model.lengths, input_len, eff, w)
+                fresh = _collect_matches(model, in_codes_all, input_len, new_slices)
+                if matches is None:
+                    matches = fresh
+                elif len(fresh[0]):
+                    matches = tuple(
+                        np.concatenate([a, b]) for a, b in zip(matches, fresh)
+                    )
+                cov = band
+                m = np.bincount(matches[0], minlength=n).astype(np.int32)
+                matched = (m >= required) & (m > 0)
+                idx0 = np.flatnonzero(matched)
+                t = _t_from_matches(matches, m, matched, n)
+                idx, sc = _finalize_scores(
+                    model, m, idx0, t[idx0], in_codes_all, input_len,
+                    eff, w, thr, dtype,
+                )
+                idx, sc = _emit_zero_matches(idx, sc, m, required, eff, dtype)
+                if len(idx) >= k:
+                    break
     # map internal length-rank ids back to the caller's candidate order
     if model.orig_ids is not None and len(idx):
         idx = model.orig_ids[idx]
@@ -466,9 +892,13 @@ def score(
             order = np.argsort(idx, kind="stable")
             idx, sc = idx[order], sc[order]
         else:
-            # re-apply the deterministic tie-break on ORIGINAL ids
+            # deterministic tie-break (score desc, ORIGINAL id asc); the
+            # top-k truncation happens here, after the remap, so equal
+            # scores at the cutoff break on caller-visible ids
             order = np.lexsort((idx, -sc))
             idx, sc = idx[order], sc[order]
+    if n_best is not None and len(idx) > min(n_best, n):
+        idx, sc = idx[: min(n_best, n)], sc[: min(n_best, n)]
     return idx, sc
 
 
