@@ -19,9 +19,12 @@ from batch_jaro_winkler_spark.kernel import CandidateModel, build_model, score
 
 __all__ = [
     "build_exportable_model",
+    "build_exportable_model_bytes",
     "build_runtime_model",
     "jaro_winkler_distance",
+    "jaro_winkler_distance_bytes",
     "jaro_distance",
+    "jaro_distance_bytes",
 ]
 
 
@@ -43,10 +46,26 @@ def _split_candidates(candidates):
 def build_exportable_model(candidates, nb_runtime_threads: int = 1) -> bytes:
     """Compile candidates to an immutable bytes blob (storable in RAM, disk,
     S3, or a BinaryType column — reference README.md:85)."""
+    return build_exportable_model_bytes(0, candidates, nb_runtime_threads)
+
+
+def build_exportable_model_bytes(
+    char_width: int, candidates, nb_runtime_threads: int = 1
+) -> bytes:
+    """The reference's encoded-input shape (pyx:32-77): candidates are
+    byte strings of fixed-width little-endian code units; lengths in chars
+    = bytes // char_width (UTF-16 surrogate halves count separately —
+    the library never decodes).  ``char_width = 0`` means un-encoded str
+    candidates (the plain build_exportable_model path)."""
     if nb_runtime_threads < 1:
-        raise ValueError("nb_runtime_threads must be >= 1")
+        raise ValueError("nb_runtime_threads must be > 0")
+    if char_width not in (0, 1, 2, 4):
+        raise ValueError("char_width must be 1, 2 or 4")
     cands, mins = _split_candidates(candidates)
-    return pickle.dumps(build_model(cands, min_scores=mins), protocol=4)
+    model = build_model(
+        cands, min_scores=mins, char_width=char_width or None
+    )
+    return pickle.dumps(model, protocol=4)
 
 
 def build_runtime_model(exportable_model: bytes) -> CandidateModel:
@@ -59,7 +78,13 @@ def build_runtime_model(exportable_model: bytes) -> CandidateModel:
     return model
 
 
-def _distance(runtime_model, inp, min_score, weight, threshold, n_best_results):
+_UNIT_OUT_DTYPE = {1: "<u1", 2: "<u2", 4: "<u4"}
+
+
+def _distance(
+    runtime_model, inp, min_score, weight, threshold, n_best_results,
+    bytes_out: bool = False,
+):
     import numpy as np
 
     idx, sc = score(
@@ -81,7 +106,15 @@ def _distance(runtime_model, inp, min_score, weight, threshold, n_best_results):
     out = []
     for i, s in zip(idx, sc):
         j = int(inv[int(i)]) if inv is not None else int(i)
-        cand = codes[off[j] : off[j + 1]].tobytes().decode("utf-32-le")
+        units = codes[off[j] : off[j + 1]]
+        if bytes_out:
+            # re-encode to the model's original unit width (pyx:120-127):
+            # units round-trip exactly (width-1/2 values fit their width)
+            cand = units.astype(
+                _UNIT_OUT_DTYPE[runtime_model.char_width]
+            ).tobytes()
+        else:
+            cand = units.tobytes().decode("utf-32-le")
         out.append((cand, float(s)))
     return out
 
@@ -101,3 +134,45 @@ def jaro_winkler_distance(
 def jaro_distance(runtime_model: CandidateModel, inp: str, min_score=None, n_best_results=None):
     """Pure Jaro: weight/threshold unset (pyx:186-190)."""
     return _distance(runtime_model, inp, min_score, None, None, n_best_results)
+
+
+def _decode_encoded_input(char_width: int, runtime_model, inp):
+    from batch_jaro_winkler_spark.kernel import units_from_bytes
+
+    if char_width not in (1, 2, 4):
+        raise ValueError("char_width must be 1, 2 or 4")
+    return units_from_bytes(inp, char_width)
+
+
+def jaro_winkler_distance_bytes(
+    char_width: int,
+    runtime_model: CandidateModel,
+    inp,
+    min_score=None,
+    weight=0.1,
+    threshold=0.7,
+    n_best_results=None,
+):
+    """Encoded-input twin of jaro_winkler_distance (pyx:134-181): ``inp``
+    is bytes of fixed-width code units, results return candidates as the
+    original encoded bytes."""
+    units = _decode_encoded_input(char_width, runtime_model, inp)
+    return _distance(
+        runtime_model, units, min_score, weight, threshold, n_best_results,
+        bytes_out=True,
+    )
+
+
+def jaro_distance_bytes(
+    char_width: int,
+    runtime_model: CandidateModel,
+    inp,
+    min_score=None,
+    n_best_results=None,
+):
+    """Pure-Jaro encoded twin (pyx:183-184)."""
+    units = _decode_encoded_input(char_width, runtime_model, inp)
+    return _distance(
+        runtime_model, units, min_score, None, None, n_best_results,
+        bytes_out=True,
+    )

@@ -4,6 +4,14 @@ from batch_jaro_winkler_spark.kernel.bjw import (
     score,
     score_pair,
     score_strings,
+    units_from_bytes,
 )
 
-__all__ = ["CandidateModel", "build_model", "score", "score_pair", "score_strings"]
+__all__ = [
+    "CandidateModel",
+    "build_model",
+    "score",
+    "score_pair",
+    "score_strings",
+    "units_from_bytes",
+]

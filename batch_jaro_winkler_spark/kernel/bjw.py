@@ -61,6 +61,7 @@ __all__ = [
     "score",
     "score_pair",
     "score_strings",
+    "units_from_bytes",
 ]
 
 
@@ -82,6 +83,37 @@ def _encode_utf32(strings) -> tuple[np.ndarray, np.ndarray]:
         buf = "".join(strings).encode("utf-32-le")
         codes[:] = np.frombuffer(buf, dtype="<u4")
     return codes, offsets
+
+
+_UNIT_DTYPE = {1: "<u1", 2: "<u2", 4: "<u4"}
+
+
+def units_from_bytes(b, char_width: int) -> np.ndarray:
+    """Decode an encoded byte string into uint32 code UNITS — the
+    reference's ``*_bytes`` convention (``python/cbatch_jaro_winkler.pyx:
+    32-77,134-181``): length in chars = bytes // char_width (a trailing
+    partial unit is ignored), and each fixed-width little-endian unit is
+    one 'char' (UTF-16 surrogate halves count separately, exactly like the
+    C library, which never decodes)."""
+    if char_width not in _UNIT_DTYPE:
+        raise ValueError("char_width must be 1, 2 or 4")
+    n_units = len(b) // char_width
+    return np.frombuffer(
+        bytes(b)[: n_units * char_width], dtype=_UNIT_DTYPE[char_width]
+    ).astype(np.uint32)
+
+
+def _encode_units(items, char_width: int) -> tuple[np.ndarray, np.ndarray]:
+    """(codes, offsets) from encoded byte strings of the given unit width."""
+    arrays = [units_from_bytes(b, char_width) for b in items]
+    n = len(arrays)
+    lengths = np.fromiter((len(a) for a in arrays), dtype=np.int64, count=n)
+    offsets = np.zeros(n + 1, dtype=np.int64)
+    np.cumsum(lengths, out=offsets[1:])
+    codes = (
+        np.concatenate(arrays) if n and offsets[-1] else np.empty(0, dtype=np.uint32)
+    )
+    return codes.astype(np.uint32, copy=False), offsets
 
 
 @dataclass
@@ -111,6 +143,10 @@ class CandidateModel:
     pos_flat: np.ndarray
     first4: np.ndarray
     min_scores: np.ndarray | None
+    # code-unit width the candidates were built from: 4 for the str path
+    # (UTF-32 code points), 1/2/4 for the *_bytes path (pyx:32-77) — used
+    # to re-encode result candidates to their original bytes
+    char_width: int = 4
     # candidates are stored in LENGTH order (like the reference's compile
     # sort, c:170-171): internal id = length rank, orig_ids maps back.
     # Length-ordered ids make the min_score length-band a contiguous id
@@ -137,10 +173,12 @@ class CandidateModel:
         return len(self.lengths)
 
 
-def build_model(candidates, min_scores=None) -> CandidateModel:
+def build_model(candidates, min_scores=None, char_width: int | None = None) -> CandidateModel:
     """Compile a candidate batch into a shared inverted index.
 
-    ``candidates`` — sequence of str.
+    ``candidates`` — sequence of str (default), or of encoded bytes when
+    ``char_width`` is 1, 2 or 4 (the reference's ``*_bytes`` input shape:
+    lengths in code units = bytes // char_width).
     ``min_scores`` — optional sequence of float, all-or-none like the
     reference (``python/cbatch_jaro_winkler.pyx:29-31``).
     """
@@ -151,16 +189,25 @@ def build_model(candidates, min_scores=None) -> CandidateModel:
             raise ValueError("min_scores must have one entry per candidate")
         if len(min_scores) and (min_scores.min() < 0.0 or min_scores.max() > 1.0):
             raise ValueError("min_score must be >= 0.0 and <= 1.0")
+    if char_width is not None and char_width not in _UNIT_DTYPE:
+        raise ValueError("char_width must be 1, 2 or 4")
+
+    def cand_len(s):
+        return len(s) if char_width is None else len(s) // char_width
+
     # compile-time length sort (reference c:170-171): internal ids are
     # length ranks; orig_ids maps results back to caller order
     orig_ids = np.argsort(
-        np.fromiter((len(s) for s in candidates), dtype=np.int64, count=len(candidates)),
+        np.fromiter((cand_len(s) for s in candidates), dtype=np.int64, count=len(candidates)),
         kind="stable",
     )
     candidates = [candidates[int(i)] for i in orig_ids]
     if min_scores is not None:
         min_scores = min_scores[orig_ids]
-    codes, offsets = _encode_utf32(candidates)
+    if char_width is None:
+        codes, offsets = _encode_utf32(candidates)
+    else:
+        codes, offsets = _encode_units(candidates, char_width)
     n = len(candidates)
     lengths = (offsets[1:] - offsets[:-1]).astype(np.int64)
 
@@ -211,6 +258,7 @@ def build_model(candidates, min_scores=None) -> CandidateModel:
         pos_flat=pos_flat,
         first4=first4,
         min_scores=min_scores,
+        char_width=4 if char_width is None else char_width,
         orig_ids=orig_ids,
     )
     _ensure_aux(model)
@@ -820,7 +868,13 @@ def score(
     else:
         eff_base = np.full(n, dtype(min_score))
 
-    in_codes_all, _ = _encode_utf32([input_str])
+    if isinstance(input_str, np.ndarray):
+        in_codes_all = input_str.astype(np.uint32, copy=False)
+    elif isinstance(input_str, (bytes, bytearray)):
+        # encoded input: decode with the model's unit width (pyx:134-181)
+        in_codes_all = units_from_bytes(input_str, model.char_width)
+    else:
+        in_codes_all, _ = _encode_utf32([input_str])
     input_len = len(in_codes_all)
 
     if n_best is None:

@@ -15,9 +15,48 @@ import pytest
 from batch_jaro_winkler_spark.kernel import build_model, score, score_strings
 
 
+AS_BYTES = False
+
+
+@pytest.fixture(autouse=True, params=[False, True], ids=["str", "bytes_utf16"])
+def _as_bytes_mode(request):
+    """Run the whole behavior suite in BOTH input modes, mirroring the
+    reference's ``as_bytes`` parameterization (test_behavior.py:5-29):
+    str / UTF-32 code points vs UTF-16-LE bytes with char_width=2 through
+    the *_bytes API surface."""
+    global AS_BYTES
+    AS_BYTES = request.param
+    yield
+    AS_BYTES = False
+
+
 def run_jaro(candidates, inp, min_score=None, n_best=None):
     """Pure-jaro helper mirroring the reference's run_jaro: weight=None,
-    threshold=None (jaro_distance path, cbatch_jaro_winkler.pyx:186-190)."""
+    threshold=None (jaro_distance path, cbatch_jaro_winkler.pyx:186-190).
+    In bytes mode, candidates/input go through build_exportable_model_bytes
+    / jaro_distance_bytes with UTF-16-LE, and result candidates (returned
+    as bytes) are decoded back for comparison — the reference's exact
+    recipe."""
+    if AS_BYTES:
+        from batch_jaro_winkler_spark import api
+
+        if candidates and isinstance(candidates[0], dict):
+            cands = [
+                {
+                    "candidate": c["candidate"].encode("utf-16-le"),
+                    "min_score": c["min_score"],
+                }
+                for c in candidates
+            ]
+        else:
+            cands = [c.encode("utf-16-le") for c in candidates]
+        rm = api.build_runtime_model(api.build_exportable_model_bytes(2, cands))
+        res = api.jaro_distance_bytes(
+            2, rm, inp.encode("utf-16-le"), min_score=min_score, n_best_results=n_best
+        )
+        res = [(c.decode("utf-16-le"), s) for c, s in res]
+        res.sort(key=lambda r: r[0])
+        return res
     if candidates and isinstance(candidates[0], dict):
         cands = [c["candidate"] for c in candidates]
         mins = [c["min_score"] for c in candidates]
@@ -294,3 +333,43 @@ def test_score_pair_parity_with_batch_kernel():
             res = score_strings([b], a, weight=weight, threshold=threshold)
             exp = res[0][1] if res else 0.0
             assert got == exp, (a, b, weight, got, exp)
+
+
+def test_bytes_char_widths_and_surrogate_units():
+    """char_width 1/2/4 all work; UTF-16 astral chars count as TWO units
+    (the library never decodes — surrogate halves are chars, exactly like
+    the C reference), and result candidates round-trip as original bytes."""
+    from batch_jaro_winkler_spark import api
+    from batch_jaro_winkler_spark.kernel import build_model
+
+    # width 1: latin-1 bytes
+    cands1 = [b"hello", b"help", b"world"]
+    rm1 = api.build_runtime_model(api.build_exportable_model_bytes(1, cands1))
+    res1 = api.jaro_distance_bytes(1, rm1, b"hello", min_score=0.8)
+    assert (b"hello", 1.0) in res1
+    assert all(isinstance(c, bytes) for c, _ in res1)
+
+    # width 4: utf-32-le bytes == the str path exactly
+    cands4 = [s.encode("utf-32-le") for s in ["hélloz", "lolz"]]
+    rm4 = api.build_runtime_model(api.build_exportable_model_bytes(4, cands4))
+    res4 = api.jaro_distance_bytes(4, rm4, "hélloz".encode("utf-32-le"))
+    by_cand = {c.decode("utf-32-le"): s for c, s in res4}
+    assert by_cand["hélloz"] == 1.0 and abs(by_cand["lolz"] - 0.75) < 1e-6
+
+    # surrogate semantics: astral char = 2 UTF-16 units, 1 UTF-32 unit
+    astral = "a\U0001F389b"
+    m2 = build_model([astral.encode("utf-16-le")], char_width=2)
+    m4 = build_model([astral], )
+    assert m2.lengths.tolist() == [4]  # a + hi-surrogate + lo-surrogate + b
+    assert m4.lengths.tolist() == [3]
+
+    # trailing partial unit is ignored (length = bytes // width)
+    m_trunc = build_model([b"abcde"], char_width=2)
+    assert m_trunc.lengths.tolist() == [2]
+
+    # invalid widths rejected
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        api.build_exportable_model_bytes(3, [b"x"])
+    with _pytest.raises(ValueError):
+        api.jaro_distance_bytes(5, rm1, b"x")
