@@ -666,9 +666,14 @@ def _emit_zero_matches(idx, sc, m, required, eff_min, dtype):
 # selective passes (min_score floor this high) use counts-mode scanning +
 # per-survivor scalar transpositions; below it, detail mode is cheaper
 _COUNTS_MODE_FLOOR = 0.7
-# survivor budget for the scalar transposition walk (units of survivor ×
-# input chars): above it, fall back to a detail-mode scan (vectorized
-# lexsort transpositions)
+# ... but only for short inputs: scalar transposition walks cost
+# ~(|input| + |cand|) char-ops per survivor, so long-text workloads
+# (pipeline verify_pairs: ~200-char near-dups where most candidates
+# survive) are 2-3x faster on the vectorized detail path
+_COUNTS_MODE_MAX_LEN = 64
+# survivor budget for the scalar transposition walk, in char-ops
+# (survivors × (input_len + cand_len)): above it, fall back to a
+# detail-mode scan (vectorized lexsort transpositions)
 _PAIR_T_BUDGET = 50_000
 
 
@@ -785,7 +790,7 @@ def _score_pass(
     floor = float(eff_min.min()) if n else 0.0
     band = _length_band(model, input_len, floor, w)
     slices = [band]
-    if floor >= _COUNTS_MODE_FLOOR:
+    if floor >= _COUNTS_MODE_FLOOR and input_len <= _COUNTS_MODE_MAX_LEN:
         # selective pass: counts-mode scan, required-bound filter evaluated
         # on the band slice only, scalar transpositions per survivor
         # (floor > 0 → zero-match emission can never fire)
@@ -796,7 +801,8 @@ def _score_pass(
         )
         m_band = m[lo:hi]
         idx = lo + np.flatnonzero((m_band >= req_band) & (m_band > 0))
-        if len(idx) * (input_len + 1) <= _PAIR_T_BUDGET:
+        scalar_ops = len(idx) * input_len + int(model.lengths[idx].sum())
+        if scalar_ops <= _PAIR_T_BUDGET:
             t_idx = _transpositions_for(
                 model, in_codes_all.tolist(), input_len, idx
             )

@@ -39,15 +39,31 @@ import json, sys, time, tempfile
 from batch_jaro_winkler_spark.session import get_spark
 from batch_jaro_winkler_spark.operators.config import DedupConfig
 from batch_jaro_winkler_spark.pipeline import DedupPipeline
+
+def cpu_ticks():
+    # (total jiffies, steal jiffies) from the aggregate /proc/stat cpu line:
+    # steal measures cycles the hypervisor gave to co-tenants — the noise
+    # source on this sandbox — so every sample carries its own evidence
+    try:
+        with open("/proc/stat") as fh:
+            vals = [int(x) for x in fh.readline().split()[1:]]
+        return sum(vals), (vals[7] if len(vals) > 7 else 0)
+    except Exception:
+        return 0, 0
+
 cores = int(sys.argv[1]); path = sys.argv[2]
 spark = get_spark(f"bjws-scaling-{cores}", cores=cores, shuffle_partitions=max(cores, 8))
 docs = spark.read.parquet(path)
 n = docs.count()
+tot0, st0 = cpu_ticks()
 t0 = time.time()
 pipe = DedupPipeline(spark, DedupConfig(), tempfile.mkdtemp(prefix="bjws_scale_"))
 pipe.run(docs, "doc_id", "text").count()
 sec = time.time() - t0
-print("LEGRESULT " + json.dumps({"cores": cores, "sec": round(sec, 3), "n": n}))
+tot1, st1 = cpu_ticks()
+steal = round((st1 - st0) / max(1, tot1 - tot0), 4)
+print("LEGRESULT " + json.dumps(
+    {"cores": cores, "sec": round(sec, 3), "n": n, "steal_frac": steal}))
 """
 
 
@@ -181,42 +197,58 @@ def main() -> None:
             print(json.dumps(result))
             return
         path = _scaling_corpus()
-        small = _run_leg(2, path)
-        # the short leg is the noise-sensitive one on this shared host
-        # (observed 2-core legs stable to <1%, 8-core legs swinging ±35%
-        # with hypervisor steal): take the best of up to three runs —
-        # capability, not co-tenant noise, is what efficiency grades
-        big_runs = []
-        first = _run_leg(8, path)
-        if first:
-            big_runs.append(first)
-        while (
-            big_runs
-            and len(big_runs) < 3
-            and time.time() - t_start + big_runs[-1]["sec"] < budget
-            and (
-                len(big_runs) < 2
-                or max(r["sec"] for r in big_runs)
-                > 1.25 * min(r["sec"] for r in big_runs)
-            )
-        ):
-            nxt = _run_leg(8, path)
-            if not nxt:
-                break
-            big_runs.append(nxt)
-        big = min(big_runs, key=lambda r: r["sec"]) if big_runs else None
-        if small and big:
-            eff = (small["sec"] / big["sec"]) / (8 / 2)
+        # ONE measurement window, legs interleaved (8, 2, 8, 8, ...), every
+        # sample persisted with its hypervisor-steal fraction so the JSON
+        # artifact carries the evidence, not a side note.  The headline
+        # efficiency is MEDIAN-based over all samples; the cleanest-pair
+        # number (lowest-steal sample per leg) is reported alongside with
+        # its steal fractions, because on this sandbox 2-core legs repeat
+        # to <1% while 8-core legs swing ±35% purely with co-tenant steal
+        # (BASELINE.md records the burn-test evidence).
+        reps_big = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3")))
+        plan = [8, 2] + [8] * (reps_big - 1)
+        small_runs: list[dict] = []
+        big_runs: list[dict] = []
+        for i, cores in enumerate(plan):
+            if small_runs and big_runs:
+                last = (big_runs[-1] if cores == 8 else small_runs[-1])["sec"]
+                if time.time() - t_start + last > budget:
+                    break
+            leg = _run_leg(cores, path)
+            if not leg:
+                continue
+            (big_runs if cores == 8 else small_runs).append(leg)
+        if small_runs and big_runs:
+            import statistics
+
+            med_small = statistics.median(r["sec"] for r in small_runs)
+            med_big = statistics.median(r["sec"] for r in big_runs)
+            best_small = min(small_runs, key=lambda r: r["sec"])
+            best_big = min(big_runs, key=lambda r: r["sec"])
             result["scaling"] = {
                 "corpus_rows": SCALING_ROWS,
                 "cores_small": 2,
                 "cores_big": 8,
-                "sec_small": small["sec"],
-                "sec_big": big["sec"],
-                "docs_per_sec_small": round(SCALING_ROWS / small["sec"], 2),
-                "docs_per_sec_big": round(SCALING_ROWS / big["sec"], 2),
-                "speedup": round(small["sec"] / big["sec"], 3),
-                "efficiency": round(eff, 3),
+                "samples_small": small_runs,
+                "samples_big": big_runs,
+                "sec_small_median": round(med_small, 3),
+                "sec_big_median": round(med_big, 3),
+                "docs_per_sec_small": round(SCALING_ROWS / med_small, 2),
+                "docs_per_sec_big": round(SCALING_ROWS / med_big, 2),
+                "speedup": round(med_small / med_big, 3),
+                "efficiency": round((med_small / med_big) / (8 / 2), 3),
+                "efficiency_best_pair": round(
+                    (best_small["sec"] / best_big["sec"]) / (8 / 2), 3
+                ),
+                "best_pair_steal": [
+                    best_small.get("steal_frac"),
+                    best_big.get("steal_frac"),
+                ],
+                "selection_rule": (
+                    "headline efficiency = median over all same-window "
+                    "samples; best_pair = fastest sample per leg with its "
+                    "per-leg /proc/stat steal fraction attached"
+                ),
             }
             try:
                 os.makedirs(CACHE, exist_ok=True)
