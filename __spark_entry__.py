@@ -37,6 +37,9 @@ _MINHASH_K = 16        # md5-minhash permutations (verifiable variant)
 _MINHASH_BANDS = 4
 _FP_PREFIX = 400       # chars of normalized text fingerprinted
 _FP_GRAM = 8
+_SUB_N = 80            # docs in the exact-substring suffix-array query
+_SUB_PREFIX = 600      # raw chars sliced before normalization
+_SUB_MINLEN = 200      # verbatim normalized-substring threshold
 
 
 def _norm_prefix(col, n):
@@ -370,6 +373,27 @@ def _events_sessions(spark, sf_dir):
     )
 
 
+def _dedup_substring_exact(spark, sf_dir):
+    """Suffix-array exact-substring detection (operators/suffix_array.py)
+    against a DuckDB gram-intersection oracle: pairs (a < b) of the first
+    _SUB_N docs sharing a verbatim >= 200-normalized-char substring within
+    their first _SUB_PREFIX raw chars.  chain_only=False makes the
+    operator emit every pair per equality class, so its output IS the
+    shared-gram relation the SQL computes; single partition keeps the
+    (partition-local) operator exact over the whole capped set."""
+    from batch_jaro_winkler_spark.operators.config import DedupConfig
+    from batch_jaro_winkler_spark.operators.suffix_array import suffix_array_edges
+
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .where(F.col("doc_id") < _SUB_N)
+        .select("doc_id", F.substring("text", 1, _SUB_PREFIX).alias("text"))
+        .coalesce(1)
+    )
+    cfg = DedupConfig(min_substring_chars=_SUB_MINLEN)
+    return suffix_array_edges(docs, cfg, chain_only=False).select("a", "b")
+
+
 def _events_session_window(spark, sf_dir):
     """Spark session_window (the streaming operator, run in batch mode —
     identical code path to streaming/incremental.session_window_stats) vs a
@@ -492,6 +516,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_ngram_jaccard": _dedup_ngram_jaccard,
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash32": _dedup_simhash32,
+        "dedup_substring_exact": _dedup_substring_exact,
         # reference JW capabilities (O10-O15)
         "jw_topk": _jw_topk,
         "jw_pairs": _jw_pairs,
@@ -635,6 +660,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN len(toks) > 0 THEN {simhash32} ELSE 0 END AS simhash32
             FROM (SELECT doc_id, {_sql_tokens('text')} AS toks FROM documents)
+        """,
+        "dedup_substring_exact": f"""
+            WITH d AS (
+              SELECT doc_id,
+                     {TX.normalize_sql(f"substr(text, 1, {_SUB_PREFIX})")} AS norm
+              FROM documents WHERE doc_id < {_SUB_N}
+            ), g AS (
+              SELECT doc_id,
+                     list_distinct(list_transform(
+                       generate_series(1, greatest(length(norm) - {_SUB_MINLEN - 1}, 0)),
+                       i -> substr(norm, i, {_SUB_MINLEN}))) AS grams
+              FROM d
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b
+            FROM g a JOIN g b ON a.doc_id < b.doc_id
+            WHERE len(list_intersect(a.grams, b.grams)) > 0
         """,
         "text_quality": f"""
             SELECT doc_id,

@@ -126,9 +126,15 @@ def connected_components(
         assign_rows = _local_union_find(
             (r["hi"], r["lo"]) for r in cur.collect()
         )
-        assign = spark.createDataFrame(
-            assign_rows or [(int(-1), int(-1))], "doc_id long, cluster_id long"
-        )
+        # ship assignments back through Arrow (a plain createDataFrame of
+        # hundreds of thousands of py4j tuples costs seconds of driver time)
+        import pandas as pd
+
+        pdf = pd.DataFrame(
+            assign_rows or [(int(-1), int(-1))],
+            columns=["doc_id", "cluster_id"],
+        ).astype("int64")
+        assign = spark.createDataFrame(pdf)
         if not assign_rows:
             assign = assign.where(F.lit(False))
         if all_nodes is not None:

@@ -269,22 +269,80 @@ def substring_edges(
             hi = 0
         return lo + hi
 
+    W = 2 * cap + k
+
     def verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = {"a": [], "b": [], "match_len": []}
-            for r in pdf.itertuples(index=False):
-                sa = np.frombuffer(r.slice_a.encode("utf-32-le"), dtype="<u4")
-                sb = np.frombuffer(r.slice_b.encode("utf-32-le"), dtype="<u4")
-                pa, pb = int(r.loc_a), int(r.loc_b)
-                total = _extend(sa, sb, pa, pb)
-                if total >= min_len and np.array_equal(
-                    sa[pa : pa + k], sb[pb : pb + k]
-                ):
-                    rows["a"].append(r.a)
-                    rows["b"].append(r.b)
-                    rows["match_len"].append(total)
-            yield pd.DataFrame(rows).astype(
-                {"a": np.int64, "b": np.int64, "match_len": np.int32}
-            )
+            loc_a = pdf["loc_a"].to_numpy(np.int64)
+            loc_b = pdf["loc_b"].to_numpy(np.int64)
+            out_a: list = []
+            out_b: list = []
+            out_len: list = []
+            # common case (seed not clipped by a document start): both
+            # seeds sit at column `cap`, so the whole batch verifies as two
+            # padded (n, W) code-point matrices — right-padding slice_a
+            # with \x00 and slice_b with \x01 makes true-end-of-slice a
+            # guaranteed mismatch, which is exactly the _extend boundary
+            common = (loc_a == cap) & (loc_b == cap)
+            ci = np.flatnonzero(common)
+            if len(ci):
+                sa = pdf["slice_a"].to_numpy()[ci]
+                sb = pdf["slice_b"].to_numpy()[ci]
+                A = np.frombuffer(
+                    "".join(s.ljust(W, "\x00") for s in sa).encode("utf-32-le"),
+                    dtype="<u4",
+                ).reshape(len(ci), W)
+                B = np.frombuffer(
+                    "".join(s.ljust(W, "\x01") for s in sb).encode("utf-32-le"),
+                    dtype="<u4",
+                ).reshape(len(ci), W)
+                eq = A == B
+                seed_ok = eq[:, cap : cap + k].all(axis=1)
+                left = eq[:, cap - 1 :: -1]
+                lo = np.argmin(left, axis=1)
+                lo = np.where(left.all(axis=1), cap, lo)
+                right = eq[:, cap:]
+                hi = np.argmin(right, axis=1)
+                hi = np.where(right.all(axis=1), W - cap, hi)
+                total = lo + hi
+                keep = (total >= min_len) & seed_ok
+                if keep.any():
+                    sel = ci[keep]
+                    out_a.append(pdf["a"].to_numpy(np.int64)[sel])
+                    out_b.append(pdf["b"].to_numpy(np.int64)[sel])
+                    out_len.append(total[keep].astype(np.int32))
+            # rare edge rows (seed within `cap` chars of a doc start):
+            # exact scalar extension
+            ei = np.flatnonzero(~common)
+            if len(ei):
+                e_a, e_b, e_len = [], [], []
+                sub = pdf.iloc[ei]
+                for r in sub.itertuples(index=False):
+                    sa1 = np.frombuffer(r.slice_a.encode("utf-32-le"), dtype="<u4")
+                    sb1 = np.frombuffer(r.slice_b.encode("utf-32-le"), dtype="<u4")
+                    pa, pb = int(r.loc_a), int(r.loc_b)
+                    total1 = _extend(sa1, sb1, pa, pb)
+                    if total1 >= min_len and np.array_equal(
+                        sa1[pa : pa + k], sb1[pb : pb + k]
+                    ):
+                        e_a.append(r.a)
+                        e_b.append(r.b)
+                        e_len.append(total1)
+                if e_a:
+                    out_a.append(np.asarray(e_a, dtype=np.int64))
+                    out_b.append(np.asarray(e_b, dtype=np.int64))
+                    out_len.append(np.asarray(e_len, dtype=np.int32))
+            if out_a:
+                yield pd.DataFrame(
+                    {
+                        "a": np.concatenate(out_a),
+                        "b": np.concatenate(out_b),
+                        "match_len": np.concatenate(out_len),
+                    }
+                )
+            else:
+                yield pd.DataFrame(
+                    {"a": [], "b": [], "match_len": []}
+                ).astype({"a": np.int64, "b": np.int64, "match_len": np.int32})
 
     return joined.mapInPandas(verify, schema="a long, b long, match_len int")

@@ -39,7 +39,7 @@ _SEP = 0x110000
 
 
 def partition_substring_pairs(
-    doc_ids: np.ndarray, texts: list, min_len: int
+    doc_ids: np.ndarray, texts: list, min_len: int, chain_only: bool = True
 ) -> set[tuple[int, int]]:
     """Exact >=min_len cross-document substring pairs within one partition.
 
@@ -47,6 +47,13 @@ def partition_substring_pairs(
     suffixes by their first min_len code points (sufficient: any two
     suffixes sharing >= min_len chars are adjacent-equal under this key),
     then scans runs of equal keys and pairs distinct documents in each run.
+
+    ``chain_only=True`` (the CC-feeding default) links consecutive distinct
+    owners per exact class — enough for connectivity at a fraction of the
+    pairs.  ``chain_only=False`` emits EVERY cross-document pair per class:
+    the output is then exactly the relation "docs a < b share a verbatim
+    >= min_len substring", which a DuckDB gram-intersection oracle can
+    check (driver query ``dedup_substring_exact``).
     """
     if len(texts) < 2:
         return set()
@@ -114,8 +121,13 @@ def partition_substring_pairs(
             owners = np.unique(owner[idx[inv == cls]])
             if len(owners) > 1:
                 docs = np.sort(doc_ids[owners])
-                for x, y in zip(docs[:-1], docs[1:]):
-                    pairs.add((int(x), int(y)))
+                if chain_only:
+                    for x, y in zip(docs[:-1], docs[1:]):
+                        pairs.add((int(x), int(y)))
+                else:
+                    for ii in range(len(docs)):
+                        for jj in range(ii + 1, len(docs)):
+                            pairs.add((int(docs[ii]), int(docs[jj])))
         j = end
     return pairs
 
@@ -128,6 +140,7 @@ def suffix_array_edges(
     pre_normalized: bool = False,
     co_partition: bool = False,
     num_partitions: int | None = None,
+    chain_only: bool = True,
 ) -> DataFrame:
     """→ (a, b) exact within-partition substring pairs.
 
@@ -182,7 +195,8 @@ def suffix_array_edges(
             all_ids.extend(pdf["doc_id"])
             all_texts.extend(pdf["norm"])
         pairs = partition_substring_pairs(
-            np.asarray(all_ids, dtype=np.int64), all_texts, min_len
+            np.asarray(all_ids, dtype=np.int64), all_texts, min_len,
+            chain_only=chain_only,
         )
         if pairs:
             arr = np.array(sorted(pairs), dtype=np.int64)

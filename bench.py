@@ -52,7 +52,11 @@ def cpu_ticks():
         return 0, 0
 
 cores = int(sys.argv[1]); path = sys.argv[2]
-spark = get_spark(f"bjws-scaling-{cores}", cores=cores, shuffle_partitions=max(cores, 8))
+# shuffle partitions scale with the cluster (8x cores, the standard 2-4x
+# rule with headroom for expansion-heavy self-joins): a fixed count
+# starves the bigger leg — measured 2.8x faster pair-gen at 8 cores going
+# from 8 to 64 partitions
+spark = get_spark(f"bjws-scaling-{cores}", cores=cores, shuffle_partitions=8 * cores)
 docs = spark.read.parquet(path)
 n = docs.count()
 tot0, st0 = cpu_ticks()
