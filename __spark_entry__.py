@@ -474,6 +474,35 @@ def _mm_decode_features(spark, sf_dir):
     )
 
 
+def _mm_resize_thumbs(spark, sf_dir):
+    """Image-resize plumbing (stub transform, real mapInPandas batching):
+    the sha-derived pseudo-thumbnail is SQL-expressible, so the whole
+    batched path is oracle-checked (thumb bytes compared as hex)."""
+    from batch_jaro_winkler_spark.multimodal import resize_images
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    out = resize_images(payloads, width=8, height=8)
+    return out.select(
+        "doc_id", "mime", "n_bytes_in", "n_bytes_out",
+        F.hex(F.col("thumb")).alias("thumb_hex"),
+    )
+
+
+def _mm_frame_samples(spark, sf_dir):
+    """Video frame-sampling plumbing (stub 4KiB-frame demuxer, real
+    variable-fan-out explode inside mapInPandas): every 3rd frame's
+    (number, byte length) — chunk arithmetic the oracle reproduces."""
+    from batch_jaro_winkler_spark.multimodal import sample_frames
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+    payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    frames = sample_frames(payloads, every_n=3)
+    return frames.select(
+        "doc_id", "frame_no", F.length("frame").alias("frame_len")
+    )
+
+
 def _pipeline_lsh_pairs(spark, sf_dir):
     """The REAL scale-path candidate generator (128-perm multiply-shift
     MinHash + FNV band fold + capped pair-gen).  Not SQL-expressible →
@@ -532,6 +561,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_window": _events_session_window,
         "mm_binary_meta": _mm_binary_meta,
         "mm_decode_features": _mm_decode_features,
+        "mm_resize_thumbs": _mm_resize_thumbs,
+        "mm_frame_samples": _mm_frame_samples,
         # scale-path operators (rows-only checks; pytest owns correctness)
         "pipeline_lsh_pairs": _pipeline_lsh_pairs,
         "pipeline_simhash_pairs": _pipeline_simhash_pairs,
@@ -789,6 +820,24 @@ def oracle_sql() -> dict[str, str]:
                    {MM.STUB_DIM} AS dim,
                    round({MM.stub_feat0_sql('text')}, 5) AS feat0_r
             FROM documents WHERE doc_id < 50
+        """,
+        "mm_resize_thumbs": f"""
+            SELECT doc_id,
+                   {MM.sniff_mime_sql('text')} AS mime,
+                   octet_length(encode(text)) AS n_bytes_in,
+                   least(octet_length(encode(text)), 64) AS n_bytes_out,
+                   upper(substr(repeat(lower(sha256(text || '8x8')), 2),
+                                1, 2 * least(octet_length(encode(text)), 64)))
+                     AS thumb_hex
+            FROM documents WHERE doc_id < 50
+        """,
+        "mm_frame_samples": """
+            SELECT doc_id, u.i AS frame_no,
+                   least(4096, L - u.i * 4096) AS frame_len
+            FROM (
+              SELECT doc_id, octet_length(encode(text)) AS L
+              FROM documents WHERE doc_id < 50
+            ), UNNEST(range(0, greatest(cast(ceil(L / 4096.0) AS INT), 1), 3)) AS u(i)
         """,
         # pipeline_lsh_pairs / pipeline_simhash_pairs: intentionally no
         # oracle — multiply-shift/FNV hashing is not SQL-expressible; the

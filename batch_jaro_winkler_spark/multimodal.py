@@ -30,6 +30,8 @@ __all__ = [
     "binary_meta",
     "register_decoder",
     "decode_features",
+    "resize_images",
+    "sample_frames",
 ]
 
 # magic-byte prefixes → mime (hex-encoded prefix, JVM-side comparable)
@@ -165,4 +167,132 @@ def decode_features(
     return metad.mapInPandas(
         decode,
         schema="doc_id long, mime string, features array<float>, decode_error string",
+    )
+
+
+# ---------------------------------------------------------------------------
+# image resize / video frame-sampling plumbing.  Like decode_features, the
+# Spark side (schema, batching, partition shape) is real; the pixel/codec
+# work is a clearly-marked STUB (no media libraries in this sandbox) that
+# any real implementation replaces via register_transform.
+
+_TRANSFORMS: dict[str, Callable] = {}
+
+
+def register_transform(name: str, fn: Callable) -> None:
+    """Swap in a real media transform: fn(payload: bytes, **params) -> bytes."""
+    _TRANSFORMS[name] = fn
+
+
+def _stub_resize(payload: bytes, width: int, height: int) -> bytes:
+    """STUB resize: deterministic content-derived pseudo-thumbnail with the
+    REAL output contract (bytes, size-bounded by width*height).  A real
+    decoder-resizer (PIL/opencv) registers over this via
+    register_transform('resize', fn)."""
+    import hashlib
+
+    if not payload:
+        raise ValueError("cannot resize empty payload")
+    out_len = min(len(payload), width * height)
+    seed = hashlib.sha256(payload + f"{width}x{height}".encode()).digest()
+    reps = (out_len + len(seed) - 1) // len(seed)
+    return (seed * reps)[:out_len]
+
+
+def resize_images(
+    df: DataFrame,
+    width: int,
+    height: int,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (id, mime, thumb binary, n_bytes_in, n_bytes_out, resize_error).
+
+    Batched over ``mapInPandas`` (one Python roundtrip per Arrow batch, no
+    shuffle, no per-row UDF); failures land in ``resize_error`` instead of
+    failing the job.  At 100 TB the partition shape matters more than the
+    pixel math: payloads never leave their input partition."""
+    metad = df.select(
+        F.col(id_col).alias("doc_id"),
+        F.col(payload_col).alias("payload"),
+        sniff_mime(F.col(payload_col)).alias("mime"),
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = _TRANSFORMS.get("resize", _stub_resize)
+        for pdf in batches:
+            rows = []
+            for doc_id, payload, mime in zip(
+                pdf["doc_id"], pdf["payload"], pdf["mime"]
+            ):
+                try:
+                    thumb = fn(bytes(payload), width=width, height=height)
+                    rows.append(
+                        (doc_id, mime, thumb, len(payload), len(thumb), None)
+                    )
+                except Exception as exc:
+                    rows.append(
+                        (doc_id, mime, None, len(payload or b""), None,
+                         str(exc)[:200])
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "mime", "thumb", "n_bytes_in", "n_bytes_out",
+                    "resize_error",
+                ],
+            )
+
+    return metad.mapInPandas(
+        run,
+        schema=(
+            "doc_id long, mime string, thumb binary, n_bytes_in long, "
+            "n_bytes_out long, resize_error string"
+        ),
+    )
+
+
+def _stub_frame_iter(payload: bytes, every_n: int):
+    """STUB frame iterator: treats the payload as fixed-size 4KiB 'frames'
+    (a real demuxer registers over this) and yields every n-th."""
+    frame_sz = 4096
+    n_frames = max(1, (len(payload) + frame_sz - 1) // frame_sz)
+    for i in range(0, n_frames, every_n):
+        yield i, payload[i * frame_sz : (i + 1) * frame_sz]
+
+
+def sample_frames(
+    df: DataFrame,
+    every_n: int = 10,
+    payload_col: str = "payload",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """→ (id, frame_no, frame binary): every n-th frame of each video
+    payload, exploded to one row per sampled frame.
+
+    The explode happens INSIDE mapInPandas (variable fan-out per input
+    row), so downstream per-frame operators (decode_features over frames,
+    near-dup hashing of thumbnails) see plain rows; partitioning stays
+    inherited — repartition downstream if per-frame work is heavy."""
+    metad = df.select(
+        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        fn = _TRANSFORMS.get("frame_iter", _stub_frame_iter)
+        for pdf in batches:
+            ids, nos, frames = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if not payload:
+                    continue
+                for frame_no, frame in fn(bytes(payload), every_n):
+                    ids.append(doc_id)
+                    nos.append(frame_no)
+                    frames.append(frame)
+            yield pd.DataFrame(
+                {"doc_id": ids, "frame_no": nos, "frame": frames}
+            )
+
+    return metad.mapInPandas(
+        run, schema="doc_id long, frame_no int, frame binary"
     )

@@ -65,9 +65,13 @@ pipe = DedupPipeline(spark, DedupConfig(), tempfile.mkdtemp(prefix="bjws_scale_"
 pipe.run(docs, "doc_id", "text").count()
 sec = time.time() - t0
 tot1, st1 = cpu_ticks()
-steal = round((st1 - st0) / max(1, tot1 - tot0), 4)
+import os as _os
+# aggregate steal diluted over all host cpus → normalize to the cores this
+# leg actually uses: that's the fraction of the LEG's capacity stolen
+agg = (st1 - st0) / max(1, tot1 - tot0)
+steal = round(agg * (_os.cpu_count() or 32) / cores, 4)
 print("LEGRESULT " + json.dumps(
-    {"cores": cores, "sec": round(sec, 3), "n": n, "steal_frac": steal}))
+    {"cores": cores, "sec": round(sec, 3), "n": n, "steal_of_leg": steal}))
 """
 
 
@@ -210,7 +214,7 @@ def main() -> None:
         # to <1% while 8-core legs swing ±35% purely with co-tenant steal
         # (BASELINE.md records the burn-test evidence).
         reps_big = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3")))
-        plan = [8, 2] + [8] * (reps_big - 1)
+        plan = [8, 2] + [8] * (reps_big - 1) + [2]
         small_runs: list[dict] = []
         big_runs: list[dict] = []
         for i, cores in enumerate(plan):
@@ -244,14 +248,16 @@ def main() -> None:
                 "efficiency_best_pair": round(
                     (best_small["sec"] / best_big["sec"]) / (8 / 2), 3
                 ),
-                "best_pair_steal": [
-                    best_small.get("steal_frac"),
-                    best_big.get("steal_frac"),
+                "best_pair_steal_of_leg": [
+                    best_small.get("steal_of_leg"),
+                    best_big.get("steal_of_leg"),
                 ],
                 "selection_rule": (
                     "headline efficiency = median over all same-window "
-                    "samples; best_pair = fastest sample per leg with its "
-                    "per-leg /proc/stat steal fraction attached"
+                    "samples; best_pair = fastest sample per leg; every "
+                    "sample carries /proc/stat steal normalized to the "
+                    "leg's cores (8-core legs are ~4x more exposed to "
+                    "co-tenant steal than 2-core legs)"
                 ),
             }
             try:

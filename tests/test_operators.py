@@ -461,3 +461,37 @@ def test_embedding_dup_pairs_lsh_recall(spark):
     assert got <= truth  # exact re-rank: no false positives
     recall = len(got & truth) / len(truth)
     assert recall >= 0.95, f"recall {recall:.3f} ({len(got)}/{len(truth)})"
+
+
+def test_multimodal_resize_and_frames(spark):
+    from batch_jaro_winkler_spark import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, b"\x89PNG\r\n" + b"x" * 9000), (2, b"tiny"), (3, b"")],
+        "doc_id long, payload binary",
+    )
+    out = {r["doc_id"]: r for r in mm.resize_images(df, 8, 8).collect()}
+    assert out[1]["mime"] == "image/png"
+    assert out[1]["n_bytes_out"] == 64 and len(out[1]["thumb"]) == 64
+    assert out[2]["n_bytes_out"] == 4  # shorter payloads shrink
+    assert out[3]["thumb"] is None and out[3]["resize_error"]  # empty fails soft
+    # deterministic: same payload → same thumb
+    again = {r["doc_id"]: r for r in mm.resize_images(df, 8, 8).collect()}
+    assert bytes(again[1]["thumb"]) == bytes(out[1]["thumb"])
+
+    frames = mm.sample_frames(df, every_n=2).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r["doc_id"], []).append((r["frame_no"], len(r["frame"])))
+    # 9006-byte payload → 3 frames of 4096/4096/814; every 2nd → frames 0, 2
+    assert sorted(by_doc[1]) == [(0, 4096), (2, 9006 - 2 * 4096)]
+    assert by_doc[2] == [(0, 4)]
+    assert 3 not in by_doc  # empty payload yields no frames
+
+    # a registered real transform replaces the stub
+    mm.register_transform("resize", lambda payload, width, height: b"REAL")
+    try:
+        out2 = {r["doc_id"]: r for r in mm.resize_images(df, 8, 8).collect()}
+        assert bytes(out2[1]["thumb"]) == b"REAL"
+    finally:
+        mm._TRANSFORMS.clear()
