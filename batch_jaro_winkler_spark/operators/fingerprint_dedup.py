@@ -186,12 +186,23 @@ def substring_edges(
     id_col: str = "doc_id",
     text_col: str = "text",
     pre_normalized: bool = False,
+    fps: DataFrame | None = None,
+    pair_filter=None,
 ) -> DataFrame:
     """End-to-end substring stage → verified edges (a, b, match_len) where a
     verbatim common substring of >= cfg.min_substring_chars normalized chars
-    exists around a shared fingerprint."""
-    fps = fingerprints(docs, cfg, id_col, text_col, pre_normalized)
+    exists around a shared fingerprint.
+
+    ``fps`` — optionally reuse a precomputed/persisted fingerprint table
+    (columns fp, doc_id, pos) instead of recomputing; ``pair_filter`` —
+    optional callable(DataFrame[a,b,pos_a,pos_b]) -> DataFrame applied to
+    the candidate pairs before verification (incremental mode restricts to
+    pairs touching new docs)."""
+    if fps is None:
+        fps = fingerprints(docs, cfg, id_col, text_col, pre_normalized)
     cand = fingerprint_pairs(fps, cfg)
+    if pair_filter is not None:
+        cand = pair_filter(cand)
     k = cfg.gram_chars
     min_len = cfg.min_substring_chars
     # verification decides `common substring >= min_len`, so each side only

@@ -122,10 +122,23 @@ class DedupPipeline:
             ),
         )
         if with_substring_stage:
+            fps = None
+            if cfg.persist_fingerprints:
+                from batch_jaro_winkler_spark.operators.fingerprint_dedup import (
+                    fingerprints,
+                )
+
+                fps = self._stage(
+                    "fingerprints",
+                    lambda: fingerprints(
+                        norm_docs, cfg, "doc_id", "norm", pre_normalized=True
+                    ),
+                )
             sub_edges = self._stage(
                 "sub_edges",
                 lambda: substring_edges(
-                    norm_docs, cfg, "doc_id", "norm", pre_normalized=True
+                    norm_docs, cfg, "doc_id", "norm", pre_normalized=True,
+                    fps=fps,
                 ).select("a", "b"),
             )
             edges = jw_edges.select("a", "b").union(sub_edges.select("a", "b"))
@@ -172,10 +185,14 @@ class DedupPipeline:
         changed text never reuses stale checkpoints, and add_part has set
         semantics — a crashed or double-invoked fold cannot duplicate rows.
 
-        The substring stage is batch-only: exact-substring links to old
-        docs are picked up at the next full run (documented trade-off —
-        fingerprints of the old corpus would otherwise need a checkpoint
-        table, which `run` does not currently persist).
+        Substring links: with ``cfg.persist_fingerprints`` the full run
+        checkpoints its fingerprint table, and each increment computes the
+        new docs' fingerprints, semi-joins the persisted table on touched
+        fingerprints (old table scanned column-pruned, never reshuffled in
+        full), and slice-verifies new-new and new-old pairs — so verbatim
+        >=200-char duplication of OLD content is caught incrementally.
+        Without it, substring links to old docs wait for the next full run
+        (documented trade-off).
         """
         from batch_jaro_winkler_spark.operators.lsh import band_buckets
 
@@ -240,9 +257,12 @@ class DedupPipeline:
             # drop old-old pairs resurfacing through shared buckets
             new_ids = new_sigs.select(F.col("doc_id").alias("a"))
             new_ids_b = new_sigs.select(F.col("doc_id").alias("b"))
+            # a USING semi-join moves the key column to the FRONT, so a
+            # positional union of the two branches would swap (a, b) —
+            # union BY NAME, always
             is_new_a = pairs.join(new_ids, "a", "left_semi")
             is_new_b = pairs.join(new_ids_b, "b", "left_semi")
-            return is_new_a.union(is_new_b).distinct()
+            return is_new_a.unionByName(is_new_b).distinct()
 
         pairs = self._stage(f"cand_pairs_{inc}", _pairs)
 
@@ -256,6 +276,51 @@ class DedupPipeline:
             ),
         )
 
+        inc_edges = new_edges.select("a", "b")
+
+        # incremental substring stage: new-doc fingerprints vs the
+        # persisted corpus fingerprint table (semi-join on touched fps)
+        has_fp_state = cfg.persist_fingerprints and self.catalog.exists(
+            "fingerprints", cfg.config_hash()
+        )
+        if has_fp_state:
+            from batch_jaro_winkler_spark.operators.fingerprint_dedup import (
+                fingerprints,
+                substring_edges,
+            )
+
+            new_fps = self._stage(
+                f"fingerprints_{inc}",
+                lambda: fingerprints(
+                    norm_new, cfg, "doc_id", "norm", pre_normalized=True
+                ),
+            )
+            old_fps = self.catalog.read_union("fingerprints")
+            touched_old = old_fps.join(
+                new_fps.select("fp").distinct(), "fp", "left_semi"
+            )
+            all_norm = self.catalog.read_union("normalized").unionByName(norm_new)
+            new_id_a = norm_new.select(F.col("doc_id").alias("a"))
+            new_id_b = norm_new.select(F.col("doc_id").alias("b"))
+
+            def only_new(pairs):
+                # unionByName: the USING semi-join reorders key columns
+                return (
+                    pairs.join(new_id_a, "a", "left_semi")
+                    .unionByName(pairs.join(new_id_b, "b", "left_semi"))
+                    .distinct()
+                )
+
+            sub_new = self._stage(
+                f"sub_edges_{inc}",
+                lambda: substring_edges(
+                    all_norm, cfg, "doc_id", "norm", pre_normalized=True,
+                    fps=touched_old.unionByName(new_fps),
+                    pair_filter=only_new,
+                ).select("a", "b"),
+            )
+            inc_edges = inc_edges.union(sub_new.select("a", "b"))
+
         # existing assignments enter CC as (doc, cluster) edges so merges
         # across old clusters propagate
         old_edges = old_clusters.select(
@@ -265,13 +330,16 @@ class DedupPipeline:
         clusters = self._stage(
             f"clusters_{inc}",
             lambda: connected_components(
-                new_edges.select("a", "b").union(old_edges), cfg, all_nodes=all_nodes
+                inc_edges.union(old_edges), cfg, all_nodes=all_nodes
             ),
         )
 
         # fold: clusters first (so a crash between the two writes leaves a
         # state where rerunning re-processes the docs rather than returning
-        # a stale assignment), then manifest-append the signature part
+        # a stale assignment), then manifest-append the parts
         clusters = self.catalog.write("clusters", clusters, cfg.config_hash())
         self.catalog.add_part("signatures", f"signatures_{inc}")
+        self.catalog.add_part("normalized", f"normalized_{inc}")
+        if has_fp_state:
+            self.catalog.add_part("fingerprints", f"fingerprints_{inc}")
         return clusters

@@ -204,3 +204,49 @@ def test_incremental_append_idempotent(spark, tmp_path_factory):
     assert len(third) == 107  # only 900 was new; 500 stayed folded
     assert 900 in third
     assert len(pipe4.catalog.parts("signatures")) == 2
+
+
+def test_incremental_substring_links(spark, tmp_path_factory):
+    """With persist_fingerprints, an increment doc embedding a verbatim
+    >=200-char block of an OLD doc joins its cluster even though whole-doc
+    similarity is far below the LSH/JW thresholds."""
+    import random
+
+    rng = random.Random(9)
+
+    def rand_text(n_words):
+        return " ".join(
+            f"w{rng.randrange(10**6)}x{rng.randrange(10**6)}" for _ in range(n_words)
+        )
+
+    base_rows = [(i, rand_text(160)) for i in range(40)]
+    donor_text = base_rows[7][1]
+    block = donor_text[300:560]  # ~260 raw chars of doc 7
+
+    root = str(tmp_path_factory.mktemp("incsub"))
+    cfg = DedupConfig(persist_fingerprints=True)
+    pipe = DedupPipeline(
+        spark, cfg, root
+    )
+    docs = spark.createDataFrame(base_rows, "doc_id long, text string")
+    base_clusters = {
+        r["doc_id"]: r["cluster_id"] for r in pipe.run(docs, "doc_id", "text").collect()
+    }
+    assert base_clusters[7] == 7  # distinct random docs stay singletons
+
+    # new doc: mostly fresh text + the verbatim block (low global overlap)
+    new_text = rand_text(110) + " " + block + " " + rand_text(30)
+    new_docs = spark.createDataFrame(
+        [(900, new_text), (901, rand_text(150))], "doc_id long, text string"
+    )
+    pipe2 = DedupPipeline(spark, cfg, root)
+    updated = {
+        r["doc_id"]: r["cluster_id"]
+        for r in pipe2.run_incremental(new_docs).collect()
+    }
+    assert updated[900] == updated[7] == 7, (updated[900], updated[7])
+    assert updated[901] == 901
+    # fingerprint state folded as a part, base files untouched
+    assert any(
+        p.startswith("fingerprints_inc_") for p in pipe2.catalog.parts("fingerprints")
+    )
