@@ -349,6 +349,22 @@ def _ann_cosine_topk(spark, sf_dir):
     )
 
 
+def _ann_cosine_topk_ivf(spark, sf_dir):
+    """IVF approximate top-k (inverted lists by nearest sampled centroid,
+    n_probe cells per query, exact cosine re-rank).  Centroid selection
+    uses xxhash64 ordering (not SQL-expressible) → rows-only driver check;
+    the pytest recall gate (test_ann_ivf_vs_bruteforce) owns correctness."""
+    from batch_jaro_winkler_spark.operators.ann import cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return cosine_topk_ivf(probes, emb, k=10, n_centroids=32, n_probe=8).select(
+        "probe_id", "vec_id", F.round("cos", 5).alias("cos_r"), "rank"
+    )
+
+
 def _events_sessions(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
@@ -555,6 +571,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_fingerprint": _doc_fingerprint,
         # similarity search / events / multimodal
         "ann_cosine_topk": _ann_cosine_topk,
+        "ann_cosine_topk_ivf": _ann_cosine_topk_ivf,
         "dedup_embedding": _dedup_embedding,
         "dedup_embedding_lsh": _dedup_embedding_lsh,
         "events_sessions": _events_sessions,

@@ -22,9 +22,11 @@ from batch_jaro_winkler_spark.functions.vectors import cosine
 
 __all__ = [
     "cosine_topk_bruteforce",
+    "cosine_topk_ivf",
     "cosine_topk_lsh",
     "embedding_dup_pairs_lsh",
     "hyperplane_buckets",
+    "ivf_assign",
 ]
 
 
@@ -134,6 +136,84 @@ def embedding_dup_pairs_lsh(
     return cand.select(
         "a", "b", cosine(F.col("va"), F.col("vb")).alias("cos")
     ).where(F.col("cos") >= threshold)
+
+
+def ivf_assign(
+    df: DataFrame,
+    vec_col: str,
+    centroids: np.ndarray,
+    n_probe: int = 1,
+    out_col: str = "cell",
+) -> DataFrame:
+    """Append the ``n_probe`` nearest-centroid cell ids per row (one output
+    row per (row, cell)).  ``centroids`` must be L2-normalized; nearness is
+    by cosine, computed as one matmul per Arrow batch — no shuffle, no
+    per-row Python."""
+    cn = np.ascontiguousarray(centroids, dtype=np.float32)
+    cols = df.columns
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
+            sims = mat @ cn.T  # |v| is constant per row → argmax == cosine
+            if n_probe == 1:
+                cells = sims.argmax(axis=1)[:, None]
+            else:
+                p = min(n_probe, sims.shape[1])
+                cells = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+            reps = cells.shape[1]
+            out = pdf.loc[pdf.index.repeat(reps)].reset_index(drop=True)
+            out[out_col] = cells.reshape(-1).astype(np.int32)
+            yield out
+
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields)
+    return df.mapInPandas(assign, schema=schema + f", {out_col} int")
+
+
+def cosine_topk_ivf(
+    probes: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    probe_id: str = "probe_id",
+    probe_vec: str = "probe_vec",
+    vec_id: str = "vec_id",
+    vec: str = "embedding",
+) -> DataFrame:
+    """IVF approximate top-k: corpus vectors are bucketed into inverted
+    lists by nearest centroid (one cell per vector); each probe searches
+    its ``n_probe`` nearest cells with an exact cosine re-rank.
+
+    Centroids are a deterministic hash-ordered sample of corpus vectors
+    (collected once — n_centroids × dim floats, trivially broadcastable);
+    a k-means refinement would slot in here at scale without changing the
+    plan shape.  Join work per probe ≈ corpus × n_probe / n_centroids,
+    the classic IVF trade (vs hyperplane LSH's table/plane dials)."""
+    sample = (
+        corpus.select(vec_id, vec)
+        .orderBy(F.xxhash64(F.col(vec_id)))
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = np.stack([np.asarray(r[vec], dtype=np.float32) for r in sample])
+    cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    cb = ivf_assign(corpus.select(vec_id, vec), vec, cents, n_probe=1)
+    pb = ivf_assign(probes.select(probe_id, probe_vec), probe_vec, cents, n_probe=n_probe)
+    cand = (
+        cb.join(F.broadcast(pb), "cell")
+        .select(probe_id, vec_id, probe_vec, vec)
+        .dropDuplicates([probe_id, vec_id])
+    )
+    scored = cand.select(
+        F.col(probe_id), F.col(vec_id), cosine(F.col(probe_vec), F.col(vec)).alias("cos")
+    )
+    w = Window.partitionBy(probe_id).orderBy(F.desc("cos"), F.asc(vec_id))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(probe_id, vec_id, "cos", "rank")
+    )
 
 
 def cosine_topk_lsh(

@@ -495,3 +495,34 @@ def test_multimodal_resize_and_frames(spark):
         assert bytes(out2[1]["thumb"]) == b"REAL"
     finally:
         mm._TRANSFORMS.clear()
+
+
+def test_ann_ivf_vs_bruteforce(spark):
+    from batch_jaro_winkler_spark.operators.ann import (
+        cosine_topk_bruteforce,
+        cosine_topk_ivf,
+    )
+
+    rng = np.random.default_rng(13)
+    dim, n_clusters, per = 32, 40, 10
+    centers = rng.standard_normal((n_clusters, dim)).astype(np.float32)
+    corpus = (
+        centers.repeat(per, axis=0)
+        + 0.15 * rng.standard_normal((n_clusters * per, dim)).astype(np.float32)
+    )
+    emb = spark.createDataFrame(
+        [(i, corpus[i].tolist()) for i in range(len(corpus))],
+        "vec_id long, embedding array<float>",
+    )
+    probes = spark.createDataFrame(
+        [(i * per, corpus[i * per].tolist()) for i in range(5)],
+        "probe_id long, probe_vec array<float>",
+    )
+    brute = cosine_topk_bruteforce(probes, emb, k=8)
+    ivf = cosine_topk_ivf(probes, emb, k=8, n_centroids=32, n_probe=6)
+    b = {(r["probe_id"], r["vec_id"]) for r in brute.collect()}
+    v = {(r["probe_id"], r["vec_id"]) for r in ivf.collect()}
+    recall = len(b & v) / len(b)
+    assert recall >= 0.8, recall
+    # the probe itself must be in its own cell's list
+    assert all((p * per, p * per) in v for p in range(5))
