@@ -27,6 +27,8 @@ _MARKERS = [
     "FlatMapGroupsInPandas",
     "ArrowEvalPython",
     "BatchEvalPython",  # row-at-a-time python UDF — should NEVER appear
+    "CartesianProduct",  # unbucketed all-pairs — only small-scale oracles
+    "BroadcastNestedLoopJoin",
     "HashAggregate",
     "WholeStageCodegen",
 ]

@@ -37,6 +37,29 @@ def test_topk_compiles_to_take_ordered(spark, sf01_dir):
     assert m["Exchange"] == 0  # global top-k needs no full sort shuffle
 
 
+# the declared small-scale oracles / exact baselines are the ONLY plans
+# allowed an all-pairs or broadcast-nested-loop join; every scale-path
+# query must stay bucketed.  ann_cosine_topk is the exact brute-force
+# baseline by design: its nested-loop side is the broadcast probe set
+# (tiny), the scale paths are the LSH and IVF variants.
+_ORACLE_ONLY_CROSS = {
+    "dedup_ngram_jaccard",
+    "dedup_embedding",
+    "jw_pairs",
+    "ann_cosine_topk",
+}
+
+
+@pytest.mark.parametrize(
+    "name", [q for q in ALL_QUERIES if q not in _ORACLE_ONLY_CROSS]
+)
+def test_no_unbucketed_cross_join(spark, sf01_dir, name):
+    m = plan_markers(entry_mod.queries()[name](spark, sf01_dir))
+    assert m["CartesianProduct"] == 0 and m["BroadcastNestedLoopJoin"] == 0, (
+        f"{name} contains an unbucketed cross join"
+    )
+
+
 def test_signature_stage_shuffle_free(spark, sf01_dir):
     from batch_jaro_winkler_spark.operators.config import DedupConfig
     from batch_jaro_winkler_spark.operators.signatures import compute_signatures
