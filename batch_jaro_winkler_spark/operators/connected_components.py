@@ -117,9 +117,9 @@ def connected_components(
     """
     max_iters = (cfg or DedupConfig()).cc_max_iters
     cur = _canon(edges).localCheckpoint(eager=True)
-    prev_sig = _checksum(cur)
+    n_edges = cur.count()  # threshold gate needs the count only
     spark = cur.sparkSession
-    if prev_sig[0] <= local_threshold:
+    if n_edges <= local_threshold:
         # collect() over toLocalIterator(): the edge list is bounded by the
         # threshold (~32 MB at 2M edges) and collect fetches partitions in
         # parallel instead of sequentially
@@ -145,6 +145,7 @@ def connected_components(
             )
             assign = assign.union(singletons)
         return assign
+    prev_sig = _checksum(cur)
     for _ in range(max_iters):
         cur = _canon(_small_star(_canon(_large_star(cur)))).localCheckpoint(eager=True)
         sig = _checksum(cur)

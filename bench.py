@@ -31,7 +31,11 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".bench_cache")
-SCALING_ROWS = 250_000
+# 400k docs: large enough that the ~45 s of size-independent per-run work
+# (stage barriers, planning, CC endgame — BASELINE.md round-2 Amdahl
+# decomposition) stops dominating the 8-core leg, while a 2-core leg still
+# fits the measurement window; samples always state corpus_rows
+SCALING_ROWS = 400_000
 SCALING_SEED = 123
 
 _LEG_SCRIPT = """
@@ -167,7 +171,11 @@ def main() -> None:
         "pipeline_lsh_pairs",
         "pipeline_simhash_pairs",
         "ann_cosine_topk",
+        "ann_cosine_topk_ivf",
+        "dedup_embedding_lsh",
+        "dedup_substring_exact",
         "events_sessions",
+        "events_session_window",
         "text_quality",
     ]:
         t0 = time.time()
