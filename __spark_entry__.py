@@ -443,15 +443,17 @@ def _dedup_embedding_lsh(spark, sf_dir):
     anywhere in the plan (operators/ann.py:embedding_dup_pairs_lsh).
     Rows-only driver check (random planes aren't SQL-expressible); its
     correctness gates are the pytest planted-near-dup recall >= 0.95 test
-    and the brute-force twin below.  4 planes / 16 tables are tuned for
-    the sf0.01 tail regime (cos 0.4 ≈ 63°: per-table p ≈ 0.16, overall
-    recall ≈ 0.94); at real scale planes grow with log2(n) and thresholds
-    sit in the true near-dup regime where recall is far higher."""
+    and the brute-force twin below.  Planes auto-size to the corpus
+    (⌈log2(n/64)⌉, so join work stays ≈ n·tables·bucket instead of
+    exploding quadratically when the same query runs at a bigger sf);
+    recall at the sf0.01 tail threshold 0.4 is partial by design — the
+    operator's regime is true near-dups (cos ≥ 0.9), where the pytest
+    gate holds ≥ 0.95."""
     from batch_jaro_winkler_spark.operators.ann import embedding_dup_pairs_lsh
 
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_dup_pairs_lsh(
-        emb, threshold=0.4, dim=64, n_planes=4, n_tables=16
+        emb, threshold=0.4, dim=64, n_tables=16
     ).select("a", "b", F.round("cos", 5).alias("cos_r"))
 
 

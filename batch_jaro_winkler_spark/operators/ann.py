@@ -96,10 +96,11 @@ def embedding_dup_pairs_lsh(
     dim: int,
     vec_id: str = "vec_id",
     vec: str = "embedding",
-    n_planes: int = 12,
+    n_planes: int | None = None,
     n_tables: int = 8,
     seed: int = 42,
     bucket_cap: int = 100_000,
+    target_bucket: int = 64,
 ) -> DataFrame:
     """→ (a, b, cos) embedding near-dup pairs with cosine >= threshold,
     candidate generation restricted to hyperplane-LSH bucket co-members —
@@ -108,10 +109,18 @@ def embedding_dup_pairs_lsh(
     Join work per table is Σ bucket_size², so ``n_planes`` sizes the
     buckets (≈ n/2^planes rows each) and ``n_tables`` buys recall:
     per-table collision p = (1 - θ/π)^planes, overall 1-(1-p)^tables.
-    Tune planes up with corpus size and threshold down; ``bucket_cap``
-    drops runaway buckets (duplicate-constant embeddings) instead of
-    letting one key quadratically dominate the shuffle.
-    """
+    ``n_planes=None`` (default) auto-sizes to ⌈log2(n / target_bucket)⌉
+    — a fixed plane count tuned at one corpus size grows the per-bucket
+    join quadratically at the next (one count job pays for it).  More
+    planes trade recall at LOW thresholds for bounded join work; in the
+    true near-dup regime (cos ≥ 0.9) recall stays high (see the pytest
+    gate).  ``bucket_cap`` drops runaway buckets (duplicate-constant
+    embeddings) instead of letting one key quadratically dominate."""
+    if n_planes is None:
+        import math
+
+        n = corpus.count()
+        n_planes = min(24, max(4, math.ceil(math.log2(max(n, 1) / target_bucket + 1))))
     b = hyperplane_buckets(
         corpus.select(vec_id, vec), vec, dim, n_planes, n_tables, seed
     )
