@@ -802,7 +802,7 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             )
-            SELECT user_id, sum(new_session) AS n_sessions,
+            SELECT user_id, sum(new_session)::BIGINT AS n_sessions,
                    count(*) AS n_events,
                    sum(round(value * 10000)::BIGINT) / 10000.0 AS total_value
             FROM marked GROUP BY user_id
@@ -854,8 +854,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, u.i AS frame_no,
                    least(4096, L - u.i * 4096) AS frame_len
             FROM (
+              -- L > 0: sample_frames skips empty payloads entirely
+              -- (multimodal.py run(): `if not payload: continue`)
               SELECT doc_id, octet_length(encode(text)) AS L
-              FROM documents WHERE doc_id < 50
+              FROM documents WHERE doc_id < 50 AND octet_length(encode(text)) > 0
             ), UNNEST(range(0, greatest(cast(ceil(L / 4096.0) AS INT), 1), 3)) AS u(i)
         """,
         # pipeline_lsh_pairs / pipeline_simhash_pairs: intentionally no

@@ -137,11 +137,25 @@ def jaro_distance(runtime_model: CandidateModel, inp: str, min_score=None, n_bes
 
 
 def _decode_encoded_input(char_width: int, runtime_model, inp):
+    """``char_width = 0`` is the un-encoded str path (pyx:154-156: the
+    reference treats 0 as "input is a str", internally UCS4).  Non-zero
+    widths must match the width the model was compiled with — a mismatch
+    would silently mis-decode the input while results re-encode at the
+    model's width, so it raises instead."""
     from batch_jaro_winkler_spark.kernel import units_from_bytes
 
+    if char_width == 0:
+        if not isinstance(inp, str):
+            raise ValueError("char_width 0 requires a str input")
+        return inp, False
     if char_width not in (1, 2, 4):
         raise ValueError("char_width must be 1, 2 or 4")
-    return units_from_bytes(inp, char_width)
+    if char_width != runtime_model.char_width:
+        raise ValueError(
+            f"char_width {char_width} does not match the model's "
+            f"char_width {runtime_model.char_width}"
+        )
+    return units_from_bytes(inp, char_width), True
 
 
 def jaro_winkler_distance_bytes(
@@ -156,10 +170,10 @@ def jaro_winkler_distance_bytes(
     """Encoded-input twin of jaro_winkler_distance (pyx:134-181): ``inp``
     is bytes of fixed-width code units, results return candidates as the
     original encoded bytes."""
-    units = _decode_encoded_input(char_width, runtime_model, inp)
+    units, encoded = _decode_encoded_input(char_width, runtime_model, inp)
     return _distance(
         runtime_model, units, min_score, weight, threshold, n_best_results,
-        bytes_out=True,
+        bytes_out=encoded,
     )
 
 
@@ -171,8 +185,8 @@ def jaro_distance_bytes(
     n_best_results=None,
 ):
     """Pure-Jaro encoded twin (pyx:183-184)."""
-    units = _decode_encoded_input(char_width, runtime_model, inp)
+    units, encoded = _decode_encoded_input(char_width, runtime_model, inp)
     return _distance(
         runtime_model, units, min_score, None, None, n_best_results,
-        bytes_out=True,
+        bytes_out=encoded,
     )

@@ -163,6 +163,8 @@ def ivf_assign(
 
     def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if len(pdf) == 0:  # np.stack raises on an empty Arrow batch
+                continue
             mat = np.stack(pdf[vec_col].to_numpy()).astype(np.float32)
             sims = mat @ cn.T  # |v| is constant per row → argmax == cosine
             if n_probe == 1:
@@ -189,6 +191,7 @@ def cosine_topk_ivf(
     probe_vec: str = "probe_vec",
     vec_id: str = "vec_id",
     vec: str = "embedding",
+    max_probes: int = 1_000_000,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are bucketed into inverted
     lists by nearest centroid (one cell per vector); each probe searches
@@ -207,6 +210,13 @@ def cosine_topk_ivf(
     )
     cents = np.stack([np.asarray(r[vec], dtype=np.float32) for r in sample])
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+    n_probes = probes.count()
+    if n_probes > max_probes:
+        raise ValueError(
+            f"cosine_topk_ivf probe set has {n_probes} rows (> max_probes="
+            f"{max_probes}); the probe side is broadcast — for probe sets "
+            "this large, bucket both sides (cosine_topk_lsh) instead"
+        )
     cb = ivf_assign(corpus.select(vec_id, vec), vec, cents, n_probe=1)
     pb = ivf_assign(probes.select(probe_id, probe_vec), probe_vec, cents, n_probe=n_probe)
     cand = (

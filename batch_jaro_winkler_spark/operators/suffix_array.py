@@ -37,6 +37,33 @@ __all__ = ["suffix_array_edges", "partition_substring_pairs"]
 # plane chars common in un-normalized web text — is ever mistaken for one
 _SEP = 0x110000
 
+# elements cap for the run_len x min_len exact-prefix matrix; above it,
+# class ids are refined over bounded column blocks instead (degenerate
+# normalized text — long repeated boilerplate — can make one sampled-key
+# run cover most of a partition's suffixes)
+_PREFIX_MAT_CAP = 4_000_000
+
+
+def _exact_prefix_classes(buf: np.ndarray, idx: np.ndarray, min_len: int) -> np.ndarray:
+    """Class ids (0..k-1) grouping the suffixes at ``idx`` by their exact
+    first ``min_len`` code points.  Small runs materialize the full
+    run_len x min_len matrix; large runs refine incrementally over column
+    blocks so peak extra memory stays ~_PREFIX_MAT_CAP elements."""
+    m = len(idx)
+    if m * min_len <= _PREFIX_MAT_CAP:
+        prefixes = buf[idx[:, None] + np.arange(min_len)]
+        _, inv = np.unique(prefixes, axis=0, return_inverse=True)
+        return inv
+    block = max(1, _PREFIX_MAT_CAP // m)
+    inv = np.zeros(m, dtype=np.int64)
+    for c0 in range(0, min_len, block):
+        cols = buf[idx[:, None] + np.arange(c0, min(c0 + block, min_len))]
+        mat = np.concatenate([inv[:, None], cols.astype(np.int64)], axis=1)
+        _, inv = np.unique(mat, axis=0, return_inverse=True)
+        if int(inv.max()) + 1 == m:  # all singletons — no finer split possible
+            break
+    return inv
+
 
 def partition_substring_pairs(
     doc_ids: np.ndarray, texts: list, min_len: int, chain_only: bool = True
@@ -115,8 +142,7 @@ def partition_substring_pairs(
         while end < m and same_as_prev[end - 1]:
             end += 1
         idx = s[j:end]
-        prefixes = buf[idx[:, None] + np.arange(min_len)]
-        _, inv = np.unique(prefixes, axis=0, return_inverse=True)
+        inv = _exact_prefix_classes(buf, idx, min_len)
         for cls in range(int(inv.max()) + 1):
             owners = np.unique(owner[idx[inv == cls]])
             if len(owners) > 1:

@@ -373,3 +373,17 @@ def test_bytes_char_widths_and_surrogate_units():
         api.build_exportable_model_bytes(3, [b"x"])
     with _pytest.raises(ValueError):
         api.jaro_distance_bytes(5, rm1, b"x")
+
+    # width mismatch vs the model's compile width rejects instead of
+    # silently mis-decoding (results would re-encode at the model width)
+    with _pytest.raises(ValueError, match="does not match the model"):
+        api.jaro_distance_bytes(2, rm1, b"hi")
+
+    # char_width=0 is the un-encoded str path (pyx:154-156): input is a
+    # str and result candidates come back as str, not bytes
+    rm_s = api.build_runtime_model(api.build_exportable_model(["hello", "help"]))
+    res0 = api.jaro_distance_bytes(0, rm_s, "hello", min_score=0.8)
+    assert ("hello", 1.0) in res0
+    assert all(isinstance(c, str) for c, _ in res0)
+    with _pytest.raises(ValueError):
+        api.jaro_distance_bytes(0, rm_s, b"hello")

@@ -404,6 +404,43 @@ def test_suffix_array_co_partition(spark):
     assert {(0, 17), (5, 23)} <= got, got
 
 
+def test_suffix_array_degenerate_run_chunked(monkeypatch):
+    """ADVICE: long repeated boilerplate makes one sampled-key run cover
+    most suffixes; above _PREFIX_MAT_CAP the class grouping must refine
+    over bounded column blocks and still produce the same pairs."""
+    from batch_jaro_winkler_spark.operators import suffix_array as sa
+
+    boiler = "na" * 150  # 300 chars of period-2 text → giant equal-key runs
+    texts = [boiler + " tail one", "head " + boiler, "unrelated stuff " * 30]
+    ids = np.arange(3, dtype=np.int64)
+    direct = sa.partition_substring_pairs(ids, texts, min_len=200)
+    monkeypatch.setattr(sa, "_PREFIX_MAT_CAP", 64)  # force the block path
+    chunked = sa.partition_substring_pairs(ids, texts, min_len=200)
+    assert direct == chunked
+    assert (0, 1) in chunked, chunked
+
+
+def test_ivf_assign_empty_partition(spark):
+    """ADVICE: an empty Arrow batch must not crash ivf_assign (np.stack
+    raises on zero arrays) — 16-partition frame with 3 rows guarantees
+    empty partitions."""
+    from batch_jaro_winkler_spark.operators.ann import cosine_topk_ivf
+
+    rows = [(i, [float(i == j) for j in range(4)]) for i in range(3)]
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>"
+    ).repartition(16)
+    probes = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0])], "probe_id long, probe_vec array<float>"
+    ).repartition(8)
+    got = cosine_topk_ivf(probes, corpus, k=1, n_centroids=2, n_probe=2).collect()
+    assert len(got) == 1 and got[0]["vec_id"] == 0
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="max_probes"):
+        cosine_topk_ivf(probes, corpus, k=1, n_centroids=2, max_probes=0).collect()
+
+
 def test_cc_local_union_find_emits_roots(spark):
     """The local union-find endgame must return a row for EVERY node,
     component roots included, without relying on all_nodes backfill."""
