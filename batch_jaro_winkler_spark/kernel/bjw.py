@@ -300,6 +300,13 @@ def _required_matches(
     conservative — it never prunes a candidate that could pass.
     Computed in float32 to mirror the reference's arithmetic.
     """
+    if weight < 0.0 and (not len(eff_min) or float(eff_min.max()) <= 0.0):
+        # pure Jaro with min_score 0 everywhere: the bound is never
+        # positive ((3s-1)·L·i/(L+i) <= 0 for s <= 1/3), so nothing is
+        # required — skip the float passes the closed form would cost.
+        # NOT valid for the Winkler form: at weight=0.25 its denominator
+        # is 0 and the reference prunes ALL candidates (runtime.h:296-298)
+        return np.zeros(len(cand_len), dtype=np.int64)
     L = cand_len.astype(np.float32)
     i = np.float32(input_len)
     s = eff_min.astype(np.float32)
@@ -408,7 +415,13 @@ def _scan(
     starts = np.flatnonzero(newc)
     ends = np.append(starts[1:], input_len)
 
-    def emit_single(g0: int, g1: int, r, ch, I, nI: int, i0: int):
+    # match records carry the char's ORDINAL among the input's distinct
+    # chars, not the code point: transpositions only ever compare chars
+    # for equality, and small ordinals let the dense-rank path work in
+    # uint8/uint16 instead of uint32 (4x less scatter/gather traffic)
+    ord_dtype = np.uint16 if input_len <= 0xFFFF else np.uint32
+
+    def emit_single(g0: int, g1: int, r, ch_ord, I, nI: int, i0: int):
         p = s_pos[g0:g1]
         if nI == 1:
             # the only input occurrence either fits or not: |p - i0| <= r
@@ -429,9 +442,60 @@ def _scan(
                     else I[jj[ok]]
                 )
                 mp_l.append(p[ok])
-                mch_l.append(np.full(len(hits), ch, dtype=np.uint32))
+                mch_l.append(np.full(len(hits), ch_ord, dtype=ord_dtype))
 
-    for s0, s1 in zip(starts, ends):
+    # --- batched single-occurrence emission over ALL distinct chars ---
+    # when the scan covers the full id range (min_score ~0: the length
+    # band prunes nothing), the per-char band searchsorted is a no-op and
+    # every single-occurrence group of every input char can be evaluated
+    # in ONE vectorized pass over the concatenated group ranges, instead
+    # of 2 emit calls per char.  Chars repeated in the input (nI > 1)
+    # still take the per-char path below.
+    n_ids = len(model.lengths)
+    full_band = (
+        len(id_slices) == 1
+        and id_slices[0][0] <= 0
+        and id_slices[0][1] >= n_ids
+    )
+    batched = np.zeros(len(starts), dtype=bool)
+    if full_band and len(starts) > 3:
+        nIs = ends - starts
+        batched = nIs == 1
+        u = sorted_chars[starts[batched]]
+        c0s = np.searchsorted(s_char, u, side="left")
+        c1s = np.searchsorted(s_char, u, side="right")
+        sizes = c1s - c0s
+        total = int(sizes.sum())
+        if total:
+            excl = np.zeros(len(sizes), dtype=np.int64)
+            np.cumsum(sizes[:-1], out=excl[1:])
+            # int32 record indices: the occurrence table is < 2^31 rows,
+            # and 32-bit gather indices halve the take() traffic
+            ridx = np.arange(total, dtype=np.int32) + np.repeat(
+                (c0s - excl).astype(np.int32), sizes
+            )
+            p = s_pos.take(ridx)
+            cands = s_cand.take(ridx)
+            lens = s_len.take(ridx)
+            # each batched char occurs once: its position is order[start]
+            i0_rec = np.repeat(order[starts[batched]], sizes)
+            rr = np.where(
+                lens <= Li,
+                np.int32(r_in),
+                np.maximum((lens >> 1) - np.int32(1), np.int32(0)),
+            )
+            ok = np.abs(p - i0_rec) <= rr
+            if ok.any():
+                mc_l.append(cands[ok])
+                if detail:
+                    mi_l.append(i0_rec[ok])
+                    mp_l.append(p[ok])
+                    ords = np.repeat(
+                        np.flatnonzero(batched).astype(ord_dtype), sizes
+                    )
+                    mch_l.append(ords[ok])
+
+    for ch_ord, (s0, s1) in enumerate(zip(starts, ends)):
         ch = sorted_chars[s0]
         I = order[s0:s1]  # stable argsort → ascending input positions
         nI = int(s1 - s0)
@@ -439,8 +503,11 @@ def _scan(
         # value dtypes MUST match the array dtypes: a mismatch makes
         # searchsorted cast the whole haystack per call
         chpair = np.asarray([ch, ch + 1], dtype=s_char.dtype)
-        # --- single-occurrence groups ---
+        # --- single-occurrence groups (skip chars already emitted by the
+        # batched full-band pass above) ---
         c0, c1 = np.searchsorted(s_char, chpair, side="left")
+        if batched[ch_ord]:
+            c0 = c1
         if c0 < c1:
             seg = s_cand[c0:c1]
             for lo, hi in id_slices:
@@ -459,11 +526,11 @@ def _scan(
                 # <= Li (scalar window r_in) vs > Li (vector window)
                 mid = g0 + int(np.searchsorted(s_len[g0:g1], Li, side="right"))
                 if g0 < mid:
-                    emit_single(g0, mid, np.int32(r_in), ch, I, nI, i0)
+                    emit_single(g0, mid, np.int32(r_in), ch_ord, I, nI, i0)
                 if mid < g1:
                     # "0 if r <= 1 else r - 1" == max(r - 1, 0): one pass
                     r = np.maximum((s_len[mid:g1] >> 1) - np.int32(1), np.int32(0))
-                    emit_single(mid, g1, r, ch, I, nI, i0)
+                    emit_single(mid, g1, r, ch_ord, I, nI, i0)
         # --- multi-occurrence groups: exact resume-cursor walk ---
         if not have_multi:
             continue
@@ -504,7 +571,7 @@ def _scan(
                     if detail:
                         mi_l.append(np.full(len(h), i_pos, dtype=np.int32))
                         mp_l.append(pos[h])
-                        mch_l.append(np.full(len(h), ch, dtype=np.uint32))
+                        mch_l.append(np.full(len(h), ch_ord, dtype=ord_dtype))
                     cur[h] += 1
     return mc_l, mi_l, mp_l, mch_l
 
@@ -587,28 +654,104 @@ def _transpositions_for(
     return out
 
 
+# dense-rank transposition path: total scratch elements (n * (Li + Lc))
+# above this cap fall back to the packed-key argsort path
+_T_DENSE_CAP = 64_000_000
+
+
+def _cumsum_rows(mat: np.ndarray) -> None:
+    """In-place cumulative sum down axis 0 via an explicit row loop: each
+    step is one contiguous vectorized add, which beats np.cumsum's strided
+    axis-0 kernel ~4x for the short-and-wide (L, n) bitmaps used here."""
+    for j in range(1, mat.shape[0]):
+        np.add(mat[j], mat[j - 1], out=mat[j])
+
+
 def _t_from_matches(
     matches: tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray],
     m: np.ndarray,
     matched: np.ndarray,
     n: int,
+    input_len: int = 0,
+    max_cand_len: int = 0,
 ) -> np.ndarray:
-    """Transpositions (O11) from detail matches: only candidates that pass
-    AND have >= 2 matches can transpose — sort that (smaller) subset by
-    (cand, input_pos) and (cand, cand_pos) and count char mismatches."""
+    """Transpositions (O11) from detail matches.
+
+    Two strategies, picked by shape:
+
+    * dense-rank (short inputs/candidates, the word-list full-emission
+      shape): per-match ranks in input order and candidate order come
+      from O(1)-depth scatters + in-place row cumsums over transposed
+      (pos, cand) bitmaps — every step is a linear pass, no argsort.
+      Chars scattered by input-rank then gathered at cand-rank give the
+      per-position mismatch count directly.
+    * packed-key argsort (long texts or huge bands): sort the (smaller)
+      matched & m>=2 subset by (cand, input_pos) and (cand, cand_pos)
+      and count char mismatches — O(N log N) but shape-independent.
+    """
     t = np.zeros(n, dtype=np.int64)
     mc, mi, mp, mch = matches
-    if len(mc):
-        sel = matched[mc] & (m[mc] > 1)
-        if sel.any():
-            mc2, mch2 = mc[sel], mch[sel]
-            # pack (cand, pos) into one int64 key: a single-key argsort is
-            # ~2x a two-key lexsort, and positions are int32-bounded
-            base = mc2.astype(np.int64) << 32
-            by_i = np.argsort(base | mi[sel].astype(np.int64))
-            by_pos = np.argsort(base | mp[sel].astype(np.int64))
-            diff = mch2[by_i] != mch2[by_pos]
-            t = np.bincount(mc2[by_i][diff], minlength=n) >> 1
+    if not len(mc):
+        return t
+    good = matched & (m > 1)
+    n_good_recs = int(m[good].sum())
+    dense_ok = (
+        0 < input_len <= 250
+        and 0 < max_cand_len <= 250
+        and n * (input_len + max_cand_len) <= _T_DENSE_CAP
+    )
+    if dense_ok:
+        # filtering to the m>=2 subset only pays when it actually shrinks
+        # the record set; m==1 records are harmless here (rank 0 vs rank 0,
+        # same char → never a mismatch) and unmatched candidates' t values
+        # are never read (finalize gathers t[idx] with idx ⊆ matched)
+        if n_good_recs < (len(mc) >> 1):
+            keep = np.flatnonzero(good[mc]).astype(np.int32)
+            mc2 = mc.take(keep)
+            mi2 = mi.take(keep)
+            mp2 = mp.take(keep)
+            ch2 = mch.take(keep)
+        else:
+            mc2, mi2, mp2, ch2 = mc, mi, mp, mch
+        Li, Lc = int(input_len), int(max_cand_len)
+        mc2 = mc2.astype(np.int32, copy=False)
+        # rank within candidate by input position: scatter into a
+        # transposed (Li, n) bitmap (rows contiguous → axis-0 cumsum is
+        # Li linear passes), cumsum in place, gather back at the match
+        mt = np.zeros((Li, n), dtype=np.uint8)
+        fa = mi2.astype(np.int32, copy=False) * np.int32(n) + mc2
+        mt.reshape(-1)[fa] = 1
+        _cumsum_rows(mt)
+        rank_a = mt.reshape(-1).take(fa)
+        nt = np.zeros((Lc, n), dtype=np.uint8)
+        fb = mp2.astype(np.int32, copy=False) * np.int32(n) + mc2
+        nt.reshape(-1)[fb] = 1
+        _cumsum_rows(nt)
+        rank_b = nt.reshape(-1).take(fb)
+        # A-sequence chars by input-rank; B-position i holds the char of
+        # the record with cand-rank i, so gathering A at rank_b compares
+        # position-i chars of the two orderings record-wise.  ch values
+        # are distinct-char ORDINALS (_scan) < Li <= 250, so uint8 cells
+        # suffice; every gathered cell (rank < m) is always written
+        a_chars = np.zeros(n * Li, dtype=np.uint8)
+        ch2 = ch2.astype(np.uint8, copy=False)
+        base = mc2 * np.int32(Li)
+        a_chars[base + rank_a.astype(np.int32) - np.int32(1)] = ch2
+        other = a_chars.take(base + rank_b.astype(np.int32) - np.int32(1))
+        diff = other != ch2
+        if diff.any():
+            t = np.bincount(mc2[diff], minlength=n) >> 1
+        return t
+    sel = good[mc]
+    if sel.any():
+        mc2, mch2 = mc[sel], mch[sel]
+        # pack (cand, pos) into one int64 key: a single-key argsort is
+        # ~2x a two-key lexsort, and positions are int32-bounded
+        base = mc2.astype(np.int64) << 32
+        by_i = np.argsort(base | mi[sel].astype(np.int64))
+        by_pos = np.argsort(base | mp[sel].astype(np.int64))
+        diff = mch2[by_i] != mch2[by_pos]
+        t = np.bincount(mc2[by_i][diff], minlength=n) >> 1
     return t
 
 
@@ -656,6 +799,23 @@ def _emit_zero_matches(idx, sc, m, required, eff_min, dtype):
         return idx, sc
     zm = np.flatnonzero((m == 0) & (np.int64(0) >= required) & (eff_min <= 0.0))
     if len(zm):
+        n = len(m)
+        if len(idx) + len(zm) == n:
+            # full emission (min_score=0.0): every candidate appears —
+            # the merged id list IS arange(n), only scores need placing
+            sc_all = np.zeros(n, dtype=dtype)
+            sc_all[idx] = sc
+            return np.arange(n, dtype=np.int64), sc_all
+        if len(idx) + len(zm) > (n >> 3):
+            # wide emission: O(n) mask-scatter merge instead of sorting
+            # the concatenation
+            take = np.zeros(n, dtype=bool)
+            take[idx] = True
+            take[zm] = True
+            sc_all = np.zeros(n, dtype=dtype)
+            sc_all[idx] = sc
+            all_idx = np.flatnonzero(take)
+            return all_idx, sc_all[all_idx]
         all_idx = np.concatenate([idx, zm])
         all_sc = np.concatenate([sc, np.zeros(len(zm), dtype=dtype)])
         order = np.argsort(all_idx, kind="stable")
@@ -814,7 +974,9 @@ def _score_pass(
     m = np.bincount(matches[0], minlength=n)
     matched = (m >= required) & (m > 0)
     idx = np.flatnonzero(matched)
-    t = _t_from_matches(matches, m, matched, n)
+    lo, hi = band
+    max_cl = int(model.lengths[hi - 1]) if hi > lo else 0
+    t = _t_from_matches(matches, m, matched, n, input_len, max_cl)
     idx2, sc = _finalize_scores(
         model, m, idx, t[idx], in_codes_all, input_len, eff_min, w, thr, dtype
     )
@@ -937,7 +1099,8 @@ def score(
                 m = np.bincount(matches[0], minlength=n).astype(np.int32)
                 matched = (m >= required) & (m > 0)
                 idx0 = np.flatnonzero(matched)
-                t = _t_from_matches(matches, m, matched, n)
+                max_cl = int(model.lengths[cov[1] - 1]) if cov[1] > cov[0] else 0
+                t = _t_from_matches(matches, m, matched, n, input_len, max_cl)
                 idx, sc = _finalize_scores(
                     model, m, idx0, t[idx0], in_codes_all, input_len,
                     eff, w, thr, dtype,
@@ -949,8 +1112,18 @@ def score(
     if model.orig_ids is not None and len(idx):
         idx = model.orig_ids[idx]
         if n_best is None:
-            order = np.argsort(idx, kind="stable")
-            idx, sc = idx[order], sc[order]
+            if len(idx) > (n >> 3):
+                # wide emission: invert the permutation with an O(n)
+                # scatter instead of argsorting the id list
+                take = np.zeros(n, dtype=bool)
+                take[idx] = True
+                sc_all = np.empty(n, dtype=sc.dtype)
+                sc_all[idx] = sc
+                idx = np.flatnonzero(take)
+                sc = sc_all[idx]
+            else:
+                order = np.argsort(idx, kind="stable")
+                idx, sc = idx[order], sc[order]
         else:
             # deterministic tie-break (score desc, ORIGINAL id asc); the
             # top-k truncation happens here, after the remap, so equal
