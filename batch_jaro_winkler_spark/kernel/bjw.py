@@ -835,6 +835,11 @@ _COUNTS_MODE_MAX_LEN = 64
 # (survivors × (input_len + cand_len)): above it, fall back to a
 # detail-mode scan (vectorized lexsort transpositions)
 _PAIR_T_BUDGET = 50_000
+# ... and only for models large enough that detail-mode match
+# materialization is the bottleneck: on tiny candidate batches (the
+# pairwise-oracle shape, ~100 cands) the per-survivor scalar walk plus
+# the extra counts bookkeeping is ~2x SLOWER than one dense detail pass
+_COUNTS_MODE_MIN_CANDS = 2_000
 
 
 def _topk_from_counts(
@@ -950,7 +955,11 @@ def _score_pass(
     floor = float(eff_min.min()) if n else 0.0
     band = _length_band(model, input_len, floor, w)
     slices = [band]
-    if floor >= _COUNTS_MODE_FLOOR and input_len <= _COUNTS_MODE_MAX_LEN:
+    if (
+        floor >= _COUNTS_MODE_FLOOR
+        and input_len <= _COUNTS_MODE_MAX_LEN
+        and n >= _COUNTS_MODE_MIN_CANDS
+    ):
         # selective pass: counts-mode scan, required-bound filter evaluated
         # on the band slice only, scalar transpositions per survivor
         # (floor > 0 → zero-match emission can never fire)
