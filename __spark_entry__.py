@@ -38,8 +38,11 @@ _MINHASH_BANDS = 4
 _FP_PREFIX = 400       # chars of normalized text fingerprinted
 _FP_GRAM = 8
 _SUB_N = 80            # docs in the exact-substring suffix-array query
+_SUB_RAW_N = 60        # ... of which this many are raw (overlap-free) docs
 _SUB_PREFIX = 600      # raw chars sliced before normalization
 _SUB_MINLEN = 200      # verbatim normalized-substring threshold
+_SUB_DONORS = (100, 110, 120, 130)  # donor ids for the planted copies
+_SUB_DONOR_LEN = 450   # raw chars each planted copy shares verbatim
 
 
 def _norm_prefix(col, n):
@@ -301,6 +304,36 @@ def _jw_topk(spark, sf_dir):
     )
 
 
+def _jw_topk10(spark, sf_dir):
+    """Small-k twin of jw_topk (VERDICT_r2 #10): k=10 exercises the
+    reference's adaptive n_best min_score LADDER inside the kernel
+    (c:788-816 — jw_topk's k=500000 deliberately bypasses it).  Ranking
+    by RAW float64 score is hash-safe: the kernel is bit-identical to
+    DuckDB's jaro_winkler_similarity (0 diffs over 10k sf0.01 pairs),
+    and ties break on cand_id identically on both engines."""
+    import numpy as np
+
+    from batch_jaro_winkler_spark.operators.score_pairs import score_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    probes = docs.where(F.col("doc_id") < _JW_PROBE_N).select(
+        F.col("doc_id").alias("probe_id"),
+        _norm_prefix(F.col("text"), _JW_PREFIX).alias("probe_text"),
+    )
+    cands = docs.select(
+        F.col("doc_id").alias("cand_id"),
+        _norm_prefix(F.col("text"), _JW_PREFIX).alias("cand_text"),
+    )
+    scored = score_topk(
+        probes, cands, k=10, weight=0.1, threshold=0.7, dtype=np.float64
+    )
+    w = Window.partitionBy("probe_id").orderBy(F.desc("score"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .select("probe_id", "cand_id", F.round("score", 4).alias("score_r"), "rank")
+    )
+
+
 def _jw_pairs(spark, sf_dir):
     """All pairs among the first _JWP_N docs with pure-Jaro >= 0.75 on the
     normalized 40-char prefix (kernel float64) — oracle: DuckDB
@@ -389,25 +422,87 @@ def _events_sessions(spark, sf_dir):
     )
 
 
+def _sub_docs(spark, sf_dir):
+    """The derived table both substring queries (and their oracles) run
+    over: 60 raw prefix docs with NO >=_SUB_MINLEN shared substrings
+    (verified: the gram-intersection oracle over raw sf0.01 prefixes is
+    empty), plus 20 planted docs that are verbatim copies of four donor
+    prefixes (donors 100/110/120/130, ids outside the raw set) — 4
+    cliques of 5, so the graded relation is NON-trivial.  Copies are
+    byte-identical, so their normalized min-gram content keys are equal:
+    co_partition routing provably reunites every planted pair."""
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.where(F.col("doc_id") < _SUB_RAW_N).select(
+        "doc_id", F.substring("text", 1, _SUB_PREFIX).alias("text")
+    )
+    donors = docs.where(F.col("doc_id").isin(*_SUB_DONORS)).select(
+        F.col("doc_id").alias("donor_id"),
+        F.substring("text", 1, _SUB_DONOR_LEN).alias("dtext"),
+    )
+    copies = (
+        spark.range(_SUB_RAW_N, _SUB_N)
+        .select(
+            F.col("id").alias("doc_id"),
+            (F.lit(_SUB_DONORS[0]) + ((F.col("id") - _SUB_RAW_N) % 4) * 10).alias(
+                "donor_id"
+            ),
+        )
+        .join(F.broadcast(donors), "donor_id")
+        .select("doc_id", F.col("dtext").alias("text"))
+    )
+    return raw.unionByName(copies)
+
+
+def _sub_docs_sql() -> str:
+    donors = ", ".join(str(d) for d in _SUB_DONORS)
+    return f"""
+      raw AS (
+        SELECT doc_id, substr(text, 1, {_SUB_PREFIX}) AS text
+        FROM documents WHERE doc_id < {_SUB_RAW_N}
+      ), donors AS (
+        SELECT doc_id AS donor_id, substr(text, 1, {_SUB_DONOR_LEN}) AS dtext
+        FROM documents WHERE doc_id IN ({donors})
+      ), copies AS (
+        SELECT {_SUB_RAW_N} + i AS doc_id,
+               {_SUB_DONORS[0]} + (i % 4) * 10 AS donor_id
+        FROM UNNEST(generate_series(0, {_SUB_N - _SUB_RAW_N - 1})) AS t(i)
+      ), sub_docs AS (
+        SELECT doc_id, text FROM raw
+        UNION ALL
+        SELECT c.doc_id, d.dtext AS text FROM copies c JOIN donors d USING (donor_id)
+      )"""
+
+
 def _dedup_substring_exact(spark, sf_dir):
     """Suffix-array exact-substring detection (operators/suffix_array.py)
-    against a DuckDB gram-intersection oracle: pairs (a < b) of the first
-    _SUB_N docs sharing a verbatim >= 200-normalized-char substring within
-    their first _SUB_PREFIX raw chars.  chain_only=False makes the
-    operator emit every pair per equality class, so its output IS the
-    shared-gram relation the SQL computes; single partition keeps the
-    (partition-local) operator exact over the whole capped set."""
+    against a DuckDB gram-intersection oracle: pairs (a < b) of _sub_docs
+    sharing a verbatim >= 200-normalized-char substring.  chain_only=False
+    makes the operator emit every pair per equality class, so its output
+    IS the shared-gram relation the SQL computes; single partition keeps
+    the (partition-local) operator exact over the whole capped set."""
     from batch_jaro_winkler_spark.operators.config import DedupConfig
     from batch_jaro_winkler_spark.operators.suffix_array import suffix_array_edges
 
-    docs = (
-        _t(spark, sf_dir, "documents")
-        .where(F.col("doc_id") < _SUB_N)
-        .select("doc_id", F.substring("text", 1, _SUB_PREFIX).alias("text"))
-        .coalesce(1)
-    )
+    docs = _sub_docs(spark, sf_dir).coalesce(1)
     cfg = DedupConfig(min_substring_chars=_SUB_MINLEN)
     return suffix_array_edges(docs, cfg, chain_only=False).select("a", "b")
+
+
+def _dedup_substring_parts(spark, sf_dir):
+    """The CROSS-PARTITION variant (VERDICT_r2 #6): same oracle relation,
+    but the input arrives in 8 doc_id-hashed partitions and
+    ``co_partition=True`` must reunite duplicates via the min-gram content
+    key before the partition-local suffix arrays run.  Exact here because
+    every planted pair is a verbatim copy (identical content key); the
+    raw docs share nothing, so stray partial overlaps cannot split."""
+    from batch_jaro_winkler_spark.operators.config import DedupConfig
+    from batch_jaro_winkler_spark.operators.suffix_array import suffix_array_edges
+
+    docs = _sub_docs(spark, sf_dir).repartition(8, "doc_id")
+    cfg = DedupConfig(min_substring_chars=_SUB_MINLEN)
+    return suffix_array_edges(
+        docs, cfg, chain_only=False, co_partition=True, num_partitions=8
+    ).select("a", "b")
 
 
 def _events_session_window(spark, sf_dir):
@@ -455,6 +550,44 @@ def _dedup_embedding_lsh(spark, sf_dir):
     return embedding_dup_pairs_lsh(
         emb, threshold=0.4, dim=64, n_tables=16
     ).select("a", "b", F.round("cos", 5).alias("cos_r"))
+
+
+def _ann_cosine_topk_ivf_exact(spark, sf_dir):
+    """IVF consistency oracle (VERDICT_r2 #5): with n_probe == n_centroids
+    every inverted list is probed, so the full IVF machinery (centroid
+    assign, list build, cell join, exact re-rank) must reproduce the
+    brute-force top-k EXACTLY — and brute-force top-k IS SQL-expressible.
+    rank_round=5 pins the ordering to the rounded cosine with an id
+    tie-break, identically on both engines."""
+    from batch_jaro_winkler_spark.operators.ann import cosine_topk_ivf
+
+    emb = _t(spark, sf_dir, "embeddings")
+    probes = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
+    )
+    return cosine_topk_ivf(
+        probes, emb, k=10, n_centroids=8, n_probe=8, rank_round=5
+    ).select("probe_id", "vec_id", F.round("cos", 5).alias("cos_r"), "rank")
+
+
+def _dedup_embedding_lsh_exact(spark, sf_dir):
+    """LSH consistency oracle (VERDICT_r2 #5): ONE table with ZERO
+    hyperplanes puts every vector in a single bucket, so the bucketed
+    pair generator (bucket keys, singleton/cap filters, cross-table
+    dedup, cosine re-rank) must emit exactly the brute-force >= 0.4
+    relation.  Small-scale DECLARED oracle — the one-bucket join is
+    O(n²); the graded scale path stays dedup_embedding_lsh.
+    threshold=-1 defers the cut to the rounded cosine so both engines
+    filter on the same value."""
+    from batch_jaro_winkler_spark.operators.ann import embedding_dup_pairs_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_dup_pairs_lsh(
+        emb, threshold=-1.0, dim=64, n_planes=0, n_tables=1
+    )
+    return pairs.select(
+        "a", "b", F.round("cos", 5).alias("cos_r")
+    ).where(F.col("cos_r") >= 0.4)
 
 
 def _dedup_embedding(spark, sf_dir):
@@ -564,8 +697,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_minhash_lsh": _dedup_minhash_lsh,
         "dedup_simhash32": _dedup_simhash32,
         "dedup_substring_exact": _dedup_substring_exact,
+        "dedup_substring_parts": _dedup_substring_parts,
         # reference JW capabilities (O10-O15)
         "jw_topk": _jw_topk,
+        "jw_topk10": _jw_topk10,
         "jw_pairs": _jw_pairs,
         # text analysis
         "text_quality": _text_quality,
@@ -574,8 +709,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # similarity search / events / multimodal
         "ann_cosine_topk": _ann_cosine_topk,
         "ann_cosine_topk_ivf": _ann_cosine_topk_ivf,
+        "ann_cosine_topk_ivf_exact": _ann_cosine_topk_ivf_exact,
         "dedup_embedding": _dedup_embedding,
         "dedup_embedding_lsh": _dedup_embedding_lsh,
+        "dedup_embedding_lsh_exact": _dedup_embedding_lsh_exact,
         "events_sessions": _events_sessions,
         "events_session_window": _events_session_window,
         "mm_binary_meta": _mm_binary_meta,
@@ -592,6 +729,25 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def _sql_tokens(expr: str) -> str:
     return TX.tokens_sql(expr)
+
+
+def _substring_oracle_sql() -> str:
+    """Gram-intersection ground truth over the shared _sub_docs relation —
+    one SQL for both the single-partition and co-partitioned variants."""
+    return f"""
+        WITH {_sub_docs_sql().strip()}, d AS (
+          SELECT doc_id, {TX.normalize_sql("text")} AS norm FROM sub_docs
+        ), g AS (
+          SELECT doc_id,
+                 list_distinct(list_transform(
+                   generate_series(1, greatest(length(norm) - {_SUB_MINLEN - 1}, 0)),
+                   i -> substr(norm, i, {_SUB_MINLEN}))) AS grams
+          FROM d
+        )
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM g a JOIN g b ON a.doc_id < b.doc_id
+        WHERE len(list_intersect(a.grams, b.grams)) > 0
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -711,22 +867,8 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN len(toks) > 0 THEN {simhash32} ELSE 0 END AS simhash32
             FROM (SELECT doc_id, {_sql_tokens('text')} AS toks FROM documents)
         """,
-        "dedup_substring_exact": f"""
-            WITH d AS (
-              SELECT doc_id,
-                     {TX.normalize_sql(f"substr(text, 1, {_SUB_PREFIX})")} AS norm
-              FROM documents WHERE doc_id < {_SUB_N}
-            ), g AS (
-              SELECT doc_id,
-                     list_distinct(list_transform(
-                       generate_series(1, greatest(length(norm) - {_SUB_MINLEN - 1}, 0)),
-                       i -> substr(norm, i, {_SUB_MINLEN}))) AS grams
-              FROM d
-            )
-            SELECT a.doc_id AS a, b.doc_id AS b
-            FROM g a JOIN g b ON a.doc_id < b.doc_id
-            WHERE len(list_intersect(a.grams, b.grams)) > 0
-        """,
+        "dedup_substring_exact": _substring_oracle_sql(),
+        "dedup_substring_parts": _substring_oracle_sql(),
         "text_quality": f"""
             SELECT doc_id,
                    {q['n_chars']} AS n_chars,
@@ -763,6 +905,25 @@ def oracle_sql() -> dict[str, str]:
               SELECT *, row_number() OVER (PARTITION BY probe_id
                                            ORDER BY score_r DESC, cand_id ASC) AS rank
               FROM scored) WHERE rank <= 5
+        """,
+        # raw-score ranking is safe here: the kernel's float64 JW is
+        # bit-identical to DuckDB's (verified, 0/10k diffs), ties break
+        # on cand_id in both engines
+        "jw_topk10": f"""
+            WITH probes AS (
+              SELECT doc_id AS probe_id, {norm_jw} AS ptext FROM documents
+              WHERE doc_id < {_JW_PROBE_N}
+            ), cands AS (
+              SELECT doc_id AS cand_id, {norm_jw} AS ctext FROM documents
+            ), scored AS (
+              SELECT probe_id, cand_id,
+                     jaro_winkler_similarity(ptext, ctext) AS score
+              FROM probes, cands
+            )
+            SELECT probe_id, cand_id, round(score, 4) AS score_r, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY probe_id
+                                           ORDER BY score DESC, cand_id ASC) AS rank
+              FROM scored) WHERE rank <= 10
         """,
         "jw_pairs": f"""
             WITH d AS (

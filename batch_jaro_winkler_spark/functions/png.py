@@ -1,0 +1,162 @@
+"""Pure-python/zlib PNG decoder — a REAL decoder for the multimodal
+registry (multimodal.register_decoder), proving the swap-in contract
+without any media library: stdlib ``zlib`` inflates IDAT, numpy undoes
+the five PNG scanline filters, and the pixel matrix feeds a deterministic
+16-float feature vector with the same (n, dim) float32 contract as the
+declared stubs.
+
+Supports the common still-image profiles: bit depth 8, color types 0
+(gray), 2 (RGB), 4 (gray+alpha), 6 (RGBA), no interlace.  Anything else
+raises ValueError — decode_features routes that into ``decode_error``
+per its soft-fail contract.
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+__all__ = ["png_info", "decode_png", "png_features", "encode_png"]
+
+_SIG = b"\x89PNG\r\n\x1a\n"
+_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _chunks(data: bytes):
+    pos = 8
+    while pos + 8 <= len(data):
+        (length,), ctype = struct.unpack(">I", data[pos : pos + 4]), data[pos + 4 : pos + 8]
+        yield ctype, data[pos + 8 : pos + 8 + length]
+        if ctype == b"IEND":
+            return
+        pos += 12 + length  # length + type + data + crc
+
+
+def png_info(data: bytes) -> tuple[int, int, int, int]:
+    """→ (width, height, bit_depth, color_type) from IHDR."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG (bad signature)")
+    for ctype, body in _chunks(data):
+        if ctype == b"IHDR":
+            w, h, depth, color = struct.unpack(">IIBB", body[:10])
+            return w, h, depth, color
+    raise ValueError("PNG missing IHDR")
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """→ (height, width, channels) uint8 pixel array."""
+    if data[:8] != _SIG:
+        raise ValueError("not a PNG (bad signature)")
+    w = h = None
+    idat = b""
+    for ctype, body in _chunks(data):
+        if ctype == b"IHDR":
+            w, h, depth, color, _comp, _filt, interlace = struct.unpack(
+                ">IIBBBBB", body[:13]
+            )
+            if depth != 8:
+                raise ValueError(f"unsupported PNG bit depth {depth}")
+            if color not in _CHANNELS:
+                raise ValueError(f"unsupported PNG color type {color}")
+            if interlace:
+                raise ValueError("interlaced PNG not supported")
+            ch = _CHANNELS[color]
+        elif ctype == b"IDAT":
+            idat += body
+    if w is None:
+        raise ValueError("PNG missing IHDR")
+    raw = zlib.decompress(idat)
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data length mismatch")
+    raw = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    filters = raw[:, 0]
+    out = np.zeros((h, stride), dtype=np.uint8)
+    bpp = ch  # bytes per pixel at depth 8
+    for y in range(h):
+        line = raw[y, 1:].astype(np.int32)
+        prev = out[y - 1].astype(np.int32) if y else np.zeros(stride, np.int32)
+        f = int(filters[y])
+        if f == 0:  # None
+            cur = line
+        elif f == 2:  # Up
+            cur = (line + prev) & 0xFF
+        else:  # Sub / Average / Paeth need the running left pixel
+            cur = np.empty(stride, dtype=np.int32)
+            for x in range(stride):
+                left = cur[x - bpp] if x >= bpp else 0
+                up = prev[x]
+                ul = prev[x - bpp] if x >= bpp else 0
+                if f == 1:  # Sub
+                    pred = left
+                elif f == 3:  # Average
+                    pred = (left + up) >> 1
+                elif f == 4:  # Paeth
+                    p = left + up - ul
+                    pa, pb, pc = abs(p - left), abs(p - up), abs(p - ul)
+                    pred = left if pa <= pb and pa <= pc else (up if pb <= pc else ul)
+                else:
+                    raise ValueError(f"bad PNG filter {f}")
+                cur[x] = (line[x] + pred) & 0xFF
+        out[y] = cur.astype(np.uint8)
+    return out.reshape(h, w, ch)
+
+
+def png_features(payloads: list) -> np.ndarray:
+    """Decoder-registry entry: (n, 16) float32 per-image features —
+    width, height, channels, then luminance stats and an 8-bin histogram.
+    Deterministic pure functions of the pixels (testable end-to-end)."""
+    out = np.empty((len(payloads), 16), dtype=np.float32)
+    for i, b in enumerate(payloads):
+        px = decode_png(bytes(b))
+        h, w, ch = px.shape
+        lum = px[:, :, : min(ch, 3)].mean(axis=2, dtype=np.float64)
+        hist = np.histogram(lum, bins=8, range=(0.0, 256.0))[0]
+        hist = hist / max(lum.size, 1)
+        out[i, 0] = w
+        out[i, 1] = h
+        out[i, 2] = ch
+        out[i, 3] = lum.mean() / 255.0
+        out[i, 4] = lum.std() / 255.0
+        out[i, 5] = lum.min() / 255.0
+        out[i, 6] = lum.max() / 255.0
+        out[i, 7] = float(zlib.crc32(px.tobytes()) & 0xFFFF) / 65535.0
+        out[i, 8:16] = hist
+    return out
+
+
+def encode_png(px: np.ndarray, filter_type: int = 0) -> bytes:
+    """Minimal PNG writer (test fixture generator): uint8 (h, w, ch) with
+    ch in {1, 2, 3, 4}, depth 8, one filter type for every scanline."""
+    h, w, ch = px.shape
+    color = {1: 0, 2: 4, 3: 2, 4: 6}[ch]
+    stride = w * ch
+    flat = px.reshape(h, stride).astype(np.int32)
+    rows = []
+    for y in range(h):
+        line = flat[y]
+        prev = flat[y - 1] if y else np.zeros(stride, np.int32)
+        if filter_type == 0:
+            enc = line
+        elif filter_type == 1:
+            left = np.concatenate([np.zeros(ch, np.int32), line[:-ch]])
+            enc = (line - left) & 0xFF
+        elif filter_type == 2:
+            enc = (line - prev) & 0xFF
+        else:
+            raise ValueError("encode_png supports filters 0/1/2")
+        rows.append(bytes([filter_type]) + enc.astype(np.uint8).tobytes())
+
+    def chunk(ctype: bytes, body: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(body))
+            + ctype
+            + body
+            + struct.pack(">I", zlib.crc32(ctype + body) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    idat = zlib.compress(b"".join(rows))
+    return _SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")

@@ -73,6 +73,8 @@ def hyperplane_buckets(
 
     def bucketize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
+            if len(pdf) == 0:  # np.stack raises on an empty Arrow batch
+                continue
             mat = np.stack(pdf[vec_col].to_numpy())  # (n, dim)
             out = []
             for t in range(n_tables):
@@ -192,6 +194,7 @@ def cosine_topk_ivf(
     vec_id: str = "vec_id",
     vec: str = "embedding",
     max_probes: int = 1_000_000,
+    rank_round: int | None = None,
 ) -> DataFrame:
     """IVF approximate top-k: corpus vectors are bucketed into inverted
     lists by nearest centroid (one cell per vector); each probe searches
@@ -227,7 +230,11 @@ def cosine_topk_ivf(
     scored = cand.select(
         F.col(probe_id), F.col(vec_id), cosine(F.col(probe_vec), F.col(vec)).alias("cos")
     )
-    w = Window.partitionBy(probe_id).orderBy(F.desc("cos"), F.asc(vec_id))
+    # rank_round: rank by the rounded cosine (id tie-break) so the ordering
+    # is reproducible across engines — float ranking at full precision is
+    # not a stable cross-engine contract
+    rank_key = F.round("cos", rank_round) if rank_round is not None else F.col("cos")
+    w = Window.partitionBy(probe_id).orderBy(F.desc(rank_key), F.asc(vec_id))
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= k)

@@ -138,9 +138,12 @@ def connected_components(
         if not assign_rows:
             assign = assign.where(F.lit(False))
         if all_nodes is not None:
+            # the assignment side is bounded by local_threshold rows —
+            # broadcast it so the singleton anti-join never shuffles the
+            # (much larger) all_nodes table
             singletons = (
                 all_nodes.select(F.col(all_nodes.columns[0]).alias("doc_id"))
-                .join(assign.select("doc_id"), "doc_id", "left_anti")
+                .join(F.broadcast(assign.select("doc_id")), "doc_id", "left_anti")
                 .withColumn("cluster_id", F.col("doc_id"))
             )
             assign = assign.union(singletons)

@@ -4,8 +4,8 @@
   documents
     → extract        html→text invariant check (byte-identical per url)
     → signatures     MinHash + LSH band hashes + SimHash   [no shuffle]
-    → cand_pairs     LSH banding + capped pair-gen         [1 shuffle + agg]
-    → jw_edges       batched Jaro-Winkler verification     [2 joins + grouped map]
+    → jw_edges       LSH banding + capped pair-gen + batched Jaro-Winkler
+                     verification                          [1 agg + 2 joins + grouped map]
     → sub_edges      winnowed fingerprint substring dedup  [1 shuffle + verify]
     → clusters       large-star/small-star CC over all edges
 
@@ -112,13 +112,19 @@ class DedupPipeline:
                 norm_docs, cfg, "doc_id", "norm", pre_normalized=True
             ),
         )
-        pairs = self._stage(
-            "cand_pairs", lambda: candidate_pairs(band_buckets(signatures), cfg)
-        )
+        # candidate generation folds into the verification stage: the pair
+        # list is intermediate (nothing else consumes it), so a separate
+        # checkpoint bought resume granularity at the price of one extra
+        # write->read barrier per run — measured ~5 s of size-independent
+        # cost at any corpus size.  (Thread-parallel submission of the two
+        # independent chains was tried and reverted: interleaving two
+        # mapInPandas-heavy chains churns Python workers and measured
+        # net-SLOWER at both 2 and 8 cores.)
         jw_edges = self._stage(
             "jw_edges",
             lambda: verify_pairs(
-                pairs.select("a", "b"), signatures, cfg, "doc_id", "jw_text"
+                candidate_pairs(band_buckets(signatures), cfg).select("a", "b"),
+                signatures, cfg, "doc_id", "jw_text",
             ),
         )
         if with_substring_stage:
@@ -342,4 +348,10 @@ class DedupPipeline:
         self.catalog.add_part("normalized", f"normalized_{inc}")
         if has_fp_state:
             self.catalog.add_part("fingerprints", f"fingerprints_{inc}")
+        # bound the logical tables' scan fan-in: after many daily folds the
+        # base+parts union would otherwise grow one parquet scan per
+        # increment forever
+        for tbl in ("signatures", "normalized", "fingerprints"):
+            if self.catalog.exists(tbl):
+                self.catalog.compact(tbl, max_parts=8)
         return clusters

@@ -99,6 +99,28 @@ class Catalog:
             df = df.unionByName(self.read(p))
         return df
 
+    def compact(self, name: str, max_parts: int = 8) -> bool:
+        """Fold part checkpoints into the base when the logical table's
+        scan fan-in exceeds ``max_parts`` (the Iceberg rewrite_data_files
+        story): rewrites base = read_union(name) and clears the part list
+        (``write`` supersedes parts atomically), so unbounded daily
+        increments can never degenerate into an unbounded union plan.
+        Part checkpoints stay on disk — they are independent stage
+        checkpoints that incremental runs may still resume from.
+        Returns True iff a compaction ran."""
+        ps = self.parts(name)
+        if len(ps) <= max_parts:
+            return False
+        m = self.manifest(name)
+        self.write(
+            name,
+            self.read_union(name),
+            m["config_hash"],
+            m.get("stage_version", 1),
+            extra_meta={"compacted_parts": len(ps)},
+        )
+        return True
+
     def write(
         self,
         name: str,

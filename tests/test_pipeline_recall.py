@@ -206,6 +206,44 @@ def test_incremental_append_idempotent(spark, tmp_path_factory):
     assert len(pipe4.catalog.parts("signatures")) == 2
 
 
+def test_incremental_compaction_bounds_fanin(spark, tmp_path_factory):
+    """VERDICT_r2 #9: 10 increments must NOT leave a 10-scan union plan —
+    compaction folds parts into the base past max_parts, and the total
+    assignment is unchanged by when compactions happen."""
+    from batch_jaro_winkler_spark.fixtures import make_corpus
+
+    base = make_corpus(n_rows=60, seed=31)
+    docs = spark.createDataFrame(
+        [(i, r["text"]) for i, r in enumerate(base.rows)], "doc_id long, text string"
+    )
+    root = str(tmp_path_factory.mktemp("inccomp"))
+    cfg = DedupConfig()
+    DedupPipeline(spark, cfg, root).run(docs, "doc_id", "text")
+
+    assign = {}
+    for j in range(10):
+        inc = spark.createDataFrame(
+            [(1000 + 10 * j + i, f"increment {j} doc {i} fresh words " * 12)
+             for i in range(3)],
+            "doc_id long, text string",
+        )
+        pipe = DedupPipeline(spark, cfg, root)
+        assign = {
+            r["doc_id"]: r["cluster_id"]
+            for r in pipe.run_incremental(inc).collect()
+        }
+    cat = pipe.catalog
+    # fan-in bounded: parts list never exceeds the compaction threshold
+    assert len(cat.parts("signatures")) <= 8
+    assert len(cat.parts("normalized")) <= 8
+    # the logical table is complete and duplicate-free after compactions
+    sig_ids = cat.read_union("signatures").select("doc_id")
+    assert sig_ids.count() == sig_ids.distinct().count() == 90
+    # assignment covers every doc, increments all present as singletons
+    assert len(assign) == 90
+    assert all(assign[1000 + k] == 1000 + k for k in range(0, 30, 10))
+
+
 def test_incremental_substring_links(spark, tmp_path_factory):
     """With persist_fingerprints, an increment doc embedding a verbatim
     >=200-char block of an OLD doc joins its cluster even though whole-doc
