@@ -167,10 +167,41 @@ class CandidateModel:
     m2_start: np.ndarray | None = None
     m2_end: np.ndarray | None = None
     m2_len: np.ndarray | None = None
+    # position-bucket index over the single-occurrence table: packed
+    # (char, pos, cand) int64 keys, ascending, with the candidate id per
+    # record.  Built lazily on first large scan (_ensure_buckets); b_maxp
+    # is the pos stride (-1 = keys would overflow int64, never retry).
+    # Query-local and cheap to rebuild — dropped on pickle so broadcast
+    # models stay small.
+    b_key: np.ndarray | None = None
+    b_cand: np.ndarray | None = None
+    b_maxp: int = 0
+    # counts-mode indexes (_ensure_buckets2): b2_* covers EVERY occurrence
+    # (char, pos, cand)-packed; bp_* covers every ADJACENT same-group
+    # occurrence pair, grouped by gap g then (char, q1+q2, cand)-packed —
+    # per-group "any occurrence in window" telescopes to sum(occurrence
+    # in window) - sum(adjacent pair both in window), so match counts for
+    # once-occurring input chars come from pure binary searches
+    b2_key: np.ndarray | None = None
+    b2_cand: np.ndarray | None = None
+    b2_maxp: int = 0
+    bp_gvals: np.ndarray | None = None
+    bp_goff: np.ndarray | None = None
+    bp_key: np.ndarray | None = None
+    bp_cand: np.ndarray | None = None
 
     @property
     def nb_candidates(self) -> int:
         return len(self.lengths)
+
+    def __getstate__(self):
+        d = dict(self.__dict__)
+        for f in ("b_key", "b_cand", "b2_key", "b2_cand",
+                  "bp_gvals", "bp_goff", "bp_key", "bp_cand"):
+            d[f] = None
+        d["b_maxp"] = 0
+        d["b2_maxp"] = 0
+        return d
 
 
 def build_model(candidates, min_scores=None, char_width: int | None = None) -> CandidateModel:
@@ -262,6 +293,8 @@ def build_model(candidates, min_scores=None, char_width: int | None = None) -> C
         orig_ids=orig_ids,
     )
     _ensure_aux(model)
+    if model.s_char is not None and len(model.s_char) >= _BUCKET_MIN_RECORDS:
+        _ensure_buckets(model)  # compile-time like the reference's index
     return model
 
 
@@ -289,6 +322,89 @@ def _ensure_aux(model: CandidateModel) -> None:
     model.m2_len = glen[multi]
 
 
+# build the position-bucket index only for models big enough that the
+# per-record window compares it eliminates dominate scan time; below it
+# the per-char emit path is already cheap and the argsort isn't repaid
+_BUCKET_MIN_RECORDS = 32_768
+
+
+def _ensure_buckets(model: CandidateModel) -> None:
+    """Lazily build the (char, pos, cand)-packed bucket index over the
+    single-occurrence table.
+
+    The match-window test ``|p - i| <= r(len)`` is monotone in ``len``
+    (``r = max(len, Li)//2`` capped at >=1 then -1), and internal ids are
+    length ranks — so within one (char, pos) bucket the matching records
+    of any id band form ONE contiguous key range.  A whole query then
+    scans with a few hundred vectorized binary searches and gathers only
+    actual hits, instead of comparing every band record per char."""
+    if model.b_maxp != 0 or model.s_char is None or not len(model.s_char):
+        return
+    P = int(model.s_pos.max()) + 1
+    S = model.nb_candidates + 1
+    maxc = int(model.s_char[-1])  # s_char ascending
+    if (maxc + 1) * P * S >= (1 << 62):
+        model.b_maxp = -1  # packed keys would overflow: never retry
+        return
+    key = (model.s_char.astype(np.int64) * P + model.s_pos) * S + model.s_cand
+    order = np.argsort(key)  # single int64 key: ~2x a 3-key lexsort
+    model.b_key = key[order]
+    model.b_cand = model.s_cand[order]
+    model.b_maxp = P
+
+
+def _ensure_buckets2(model: CandidateModel) -> None:
+    """Counts-mode occurrence + adjacent-pair indexes (lazy, first counts
+    scan): for a ONCE-occurring input char the greedy match count of any
+    group is [exists occurrence in window], and in-window occurrences are
+    contiguous (the window is an interval, positions ascending), so it
+    telescopes to  sum_i [q_i in W]  -  sum_i [q_i in W and q_{i+1} in W].
+    Both terms have the monotone-length threshold shape the single-occ
+    bucket index exploits: the pair term's condition is
+    r(len) >= (|2*i0 - (q_i + q_{i+1})| + gap + 1) >> 1, so pairs pack as
+    (char, q_i + q_{i+1}, cand) keys grouped by gap."""
+    if model.b2_maxp != 0 or not len(model.pos_flat):
+        return
+    sizes = (model.group_end.astype(np.int64) - model.group_start)
+    char_occ = np.repeat(model.group_char, sizes)
+    cand_occ = np.repeat(model.group_cand, sizes)
+    pos_occ = model.pos_flat
+    P = int(pos_occ.max()) + 1
+    S = model.nb_candidates + 1
+    maxc = int(model.group_char[-1]) if len(model.group_char) else 0
+    if (maxc + 1) * (2 * P) * S >= (1 << 62):
+        model.b2_maxp = -1
+        return
+    key = (char_occ.astype(np.int64) * P + pos_occ) * S + cand_occ
+    order = np.argsort(key)
+    model.b2_key = key[order]
+    model.b2_cand = cand_occ[order]
+    # adjacent pairs: every occurrence that is not its group's last
+    last = np.zeros(len(pos_occ), dtype=bool)
+    last[model.group_end.astype(np.int64) - 1] = True
+    pi = np.flatnonzero(~last)
+    if len(pi):
+        g = (pos_occ[pi + 1] - pos_occ[pi]).astype(np.int64)
+        p2 = (pos_occ[pi].astype(np.int64) + pos_occ[pi + 1])
+        key2 = (char_occ[pi].astype(np.int64) * (2 * P) + p2) * S + cand_occ[pi]
+        o2 = np.lexsort((key2, g))
+        gs = g[o2]
+        newg = np.empty(len(gs), dtype=bool)
+        newg[0] = True
+        np.not_equal(gs[1:], gs[:-1], out=newg[1:])
+        goff = np.flatnonzero(newg)
+        model.bp_gvals = gs[goff]
+        model.bp_goff = np.append(goff, len(gs)).astype(np.int64)
+        model.bp_key = key2[o2]
+        model.bp_cand = cand_occ[pi][o2]
+    else:
+        model.bp_gvals = np.empty(0, dtype=np.int64)
+        model.bp_goff = np.zeros(1, dtype=np.int64)
+        model.bp_key = np.empty(0, dtype=np.int64)
+        model.bp_cand = np.empty(0, dtype=cand_occ.dtype)
+    model.b2_maxp = P
+
+
 def _required_matches(
     cand_len: np.ndarray, input_len: int, eff_min: np.ndarray, weight: float
 ) -> np.ndarray:
@@ -307,6 +423,21 @@ def _required_matches(
         # NOT valid for the Winkler form: at weight=0.25 its denominator
         # is 0 and the reference prunes ALL candidates (runtime.h:296-298)
         return np.zeros(len(cand_len), dtype=np.int64)
+    n = len(cand_len)
+    if n > 256 and len(eff_min) and eff_min[0] == eff_min[-1]:
+        # cand_len is sorted (ids are length ranks); with a uniform
+        # min_score the closed form depends only on the DISTINCT lengths —
+        # evaluate those (a handful for web text) and expand by run length
+        mn, mx = float(eff_min.min()), float(eff_min.max())
+        if mn == mx:
+            run0 = np.flatnonzero(np.diff(cand_len)) + 1
+            uni = np.concatenate([np.zeros(1, dtype=np.int64), run0])
+            if len(uni) * 8 < n:
+                req_u = _required_matches(
+                    cand_len[uni], input_len, np.full(len(uni), mn, dtype=np.float32), weight
+                )
+                counts = np.diff(np.append(uni, n))
+                return np.repeat(req_u, counts)
     L = cand_len.astype(np.float32)
     i = np.float32(input_len)
     s = eff_min.astype(np.float32)
@@ -393,8 +524,9 @@ def _scan(
     mi_l: list[np.ndarray] = []
     mp_l: list[np.ndarray] = []
     mch_l: list[np.ndarray] = []
+    mneg_l: list[np.ndarray] = []  # counts-mode pair-term subtractions
     if not input_len or not len(model.group_char):
-        return mc_l, mi_l, mp_l, mch_l
+        return mc_l, mi_l, mp_l, mch_l, mneg_l
     _ensure_aux(model)
     s_char, s_cand, s_pos, s_len = model.s_char, model.s_cand, model.s_pos, model.s_len
     m2_char, m2_cand = model.m2_char, model.m2_cand
@@ -458,7 +590,167 @@ def _scan(
         and id_slices[0][1] >= n_ids
     )
     batched = np.zeros(len(starts), dtype=bool)
-    if full_band and len(starts) > 3:
+    m2_done = np.zeros(len(starts), dtype=bool)
+    use_b = use_b2 = False
+    if len(s_char) >= _BUCKET_MIN_RECORDS:
+        if model.b_maxp == 0:
+            _ensure_buckets(model)
+        use_b = model.b_key is not None
+        if use_b and not detail:
+            if model.b2_maxp == 0:
+                _ensure_buckets2(model)
+            use_b2 = model.b2_key is not None
+    if use_b and len(starts):
+        # --- bucketed emission (zero per-record compares) --- a
+        # (char, pos, cand) key index turns each (char, window position)
+        # bucket into contiguous key ranges: |p - i| <= r(len) is monotone
+        # in len and ids are length ranks, so per bucket the matches of an
+        # id band are ONE slice found by binary search.
+        nIs = ends - starts
+        n1 = nIs == 1
+        max_len = 0
+        for lo, hi in id_slices:
+            if hi > lo:
+                max_len = max(max_len, int(model.lengths[min(hi, n_ids) - 1]))
+        P = model.b_maxp
+        S = np.int64(n_ids + 1)
+        re = max(max_len, Li) >> 1
+        r_cap = re - 1 if re > 1 else 0
+        # d -> lowest id whose length can still match: d <= r_in matches
+        # every length, else len >= 2d+2; the sentinel row d = r_cap+1
+        # exceeds every scanned length (never matches)
+        dv = np.arange(r_cap + 2, dtype=np.int64)
+        thr_of_d = np.where(
+            dv <= r_in,
+            np.int64(0),
+            np.searchsorted(model.lengths, 2 * dv + 2, side="left"),
+        )
+
+        def window_frame(sel):
+            """Concatenated per-char (position-window, char, i0) frames."""
+            ifirst = order[starts[sel]].astype(np.int64)
+            ilast = order[ends[sel] - 1].astype(np.int64)
+            w0 = np.maximum(ifirst - r_cap, 0)
+            w1 = np.minimum(ilast + r_cap, P - 1)
+            wsz = np.maximum(w1 - w0 + 1, 0)
+            totw = int(wsz.sum())
+            if not totw:
+                return None
+            exw = np.zeros(len(wsz), dtype=np.int64)
+            np.cumsum(wsz[:-1], out=exw[1:])
+            p_all = np.arange(totw, dtype=np.int64) + np.repeat(w0 - exw, wsz)
+            ch_all = np.repeat(sorted_chars[starts[sel]].astype(np.int64), wsz)
+            i0_all = np.repeat(ifirst, wsz)
+            return p_all, ch_all, i0_all, wsz, exw
+
+        def slice_gather(hay_key, hay_cand, base, thr_all, sink):
+            """Per-slice contiguous-range hit gather into ``sink``; yields
+            (hits, sizes) per slice for detail-side repeats."""
+            out = []
+            for lo, hi in id_slices:
+                if lo >= hi:
+                    continue
+                A = np.searchsorted(hay_key, base + np.maximum(thr_all, lo))
+                B = np.searchsorted(hay_key, base + hi)
+                sizes = np.maximum(B - A, 0)
+                tot = int(sizes.sum())
+                if not tot:
+                    continue
+                excl = np.zeros(len(sizes), dtype=np.int64)
+                np.cumsum(sizes[:-1], out=excl[1:])
+                ridx = np.arange(tot, dtype=np.int64) + np.repeat(A - excl, sizes)
+                hits = hay_cand.take(ridx)
+                sink.append(hits)
+                out.append((hits, sizes))
+            return out
+
+        # ---- counts mode, once-occurring input chars: the FULL-occurrence
+        # index plus the adjacent-pair index give the exact greedy count
+        # (telescoped [any occurrence in window]) — multi-occurrence
+        # candidate groups never reach the cursor walk for these chars
+        if use_b2 and max_len:
+            e1 = np.flatnonzero(n1)
+            if len(e1):
+                fr = window_frame(e1)
+                if fr:
+                    p_all, ch_all, i0_all, _, _ = fr
+                    thr_all = thr_of_d[
+                        np.minimum(np.abs(p_all - i0_all), r_cap + 1)
+                    ]
+                    slice_gather(
+                        model.b2_key, model.b2_cand,
+                        (ch_all * P + p_all) * S, thr_all, mc_l,
+                    )
+                # negative term: adjacent pairs both in window, per gap g:
+                # r(len) >= (|2*i0 - (q1+q2)| + g + 1) >> 1
+                gv, goff = model.bp_gvals, model.bp_goff
+                if gv is not None and len(gv):
+                    ch1 = sorted_chars[starts[e1]].astype(np.int64)
+                    di0 = 2 * order[starts[e1]].astype(np.int64)
+                    P2 = np.int64(2 * P)
+                    for t in range(len(gv)):
+                        g = int(gv[t])
+                        W = 2 * r_cap - g
+                        if W < 0:
+                            break  # gv ascending
+                        w0 = np.maximum(di0 - W, 0)
+                        w1 = np.minimum(di0 + W, 2 * P - 2)
+                        wsz2 = np.maximum(w1 - w0 + 1, 0)
+                        totw2 = int(wsz2.sum())
+                        if not totw2:
+                            continue
+                        exw2 = np.zeros(len(wsz2), dtype=np.int64)
+                        np.cumsum(wsz2[:-1], out=exw2[1:])
+                        p2 = np.arange(totw2, dtype=np.int64) + np.repeat(
+                            w0 - exw2, wsz2
+                        )
+                        dreq = (np.abs(p2 - np.repeat(di0, wsz2)) + g + 1) >> 1
+                        thr2 = thr_of_d[np.minimum(dreq, r_cap + 1)]
+                        k0, k1 = int(goff[t]), int(goff[t + 1])
+                        slice_gather(
+                            model.bp_key[k0:k1], model.bp_cand[k0:k1],
+                            (np.repeat(ch1, wsz2) * P2 + p2) * S, thr2, mneg_l,
+                        )
+                batched[e1] = True
+                m2_done[e1] = True
+
+        # ---- single-occurrence-table path: detail mode (once-occurring
+        # chars — their matched i is the constant i0), and counts-mode
+        # chars not covered above (repeated input chars via NEAREST-
+        # occurrence distance: one candidate occurrence can't conflict
+        # over input occurrences)
+        if detail:
+            e_idx = np.flatnonzero(n1)
+        elif use_b2:
+            e_idx = np.flatnonzero(~n1)
+        else:
+            e_idx = np.arange(len(starts), dtype=np.int64)
+        if len(e_idx) and max_len:
+            fr = window_frame(e_idx)
+            if fr:
+                p_all, ch_all, i0_all, wsz, exw = fr
+                d_all = np.abs(p_all - i0_all)
+                for j in np.flatnonzero(nIs[e_idx] > 1):
+                    I = order[starts[e_idx[j]] : ends[e_idx[j]]].astype(np.int64)
+                    sl = slice(int(exw[j]), int(exw[j]) + int(wsz[j]))
+                    pj = p_all[sl]
+                    at = np.searchsorted(I, pj)
+                    lft = I[np.maximum(at - 1, 0)]
+                    rgt = I[np.minimum(at, len(I) - 1)]
+                    d_all[sl] = np.minimum(np.abs(pj - lft), np.abs(pj - rgt))
+                thr_all = thr_of_d[np.minimum(d_all, r_cap + 1)]
+                emitted = slice_gather(
+                    model.b_key, model.b_cand,
+                    (ch_all * P + p_all) * S, thr_all, mc_l,
+                )
+                if detail:
+                    ords = e_idx.repeat(wsz)
+                    for _, sizes in emitted:
+                        mi_l.append(np.repeat(i0_all, sizes).astype(np.int32))
+                        mp_l.append(np.repeat(p_all, sizes).astype(np.int32))
+                        mch_l.append(np.repeat(ords, sizes).astype(ord_dtype))
+        batched[e_idx] = True
+    elif full_band and len(starts) > 3:
         nIs = ends - starts
         batched = nIs == 1
         u = sorted_chars[starts[batched]]
@@ -532,7 +824,7 @@ def _scan(
                     r = np.maximum((s_len[mid:g1] >> 1) - np.int32(1), np.int32(0))
                     emit_single(mid, g1, r, ch_ord, I, nI, i0)
         # --- multi-occurrence groups: exact resume-cursor walk ---
-        if not have_multi:
+        if not have_multi or m2_done[ch_ord]:
             continue
         c0, c1 = np.searchsorted(m2_char, chpair, side="left")
         if c0 == c1:
@@ -573,7 +865,7 @@ def _scan(
                         mp_l.append(pos[h])
                         mch_l.append(np.full(len(h), ch_ord, dtype=ord_dtype))
                     cur[h] += 1
-    return mc_l, mi_l, mp_l, mch_l
+    return mc_l, mi_l, mp_l, mch_l, mneg_l
 
 
 def _collect_matches(
@@ -583,7 +875,7 @@ def _collect_matches(
     id_slices: list[tuple[int, int]],
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
     """Detail-mode scan → concatenated (cand, input_pos, cand_pos, char)."""
-    mc_l, mi_l, mp_l, mch_l = _scan(
+    mc_l, mi_l, mp_l, mch_l, _ = _scan(
         model, in_codes_all, input_len, id_slices, detail=True
     )
     if not mc_l:
@@ -603,13 +895,21 @@ def _collect_counts(
     id_slices: list[tuple[int, int]],
 ) -> np.ndarray:
     """Counts-mode scan → per-candidate match count m (length n)."""
-    mc_l, _, _, _ = _scan(model, in_codes_all, input_len, id_slices, detail=False)
+    mc_l, _, _, _, mneg_l = _scan(
+        model, in_codes_all, input_len, id_slices, detail=False
+    )
     n = model.nb_candidates
     if not mc_l:
         return np.zeros(n, dtype=np.int64)
-    return np.bincount(
+    m = np.bincount(
         np.concatenate(mc_l) if len(mc_l) > 1 else mc_l[0], minlength=n
     )
+    if mneg_l:
+        m -= np.bincount(
+            np.concatenate(mneg_l) if len(mneg_l) > 1 else mneg_l[0],
+            minlength=n,
+        )
+    return m
 
 
 def _transpositions_for(
@@ -674,6 +974,7 @@ def _t_from_matches(
     n: int,
     input_len: int = 0,
     max_cand_len: int = 0,
+    lengths: np.ndarray | None = None,
 ) -> np.ndarray:
     """Transpositions (O11) from detail matches.
 
@@ -723,10 +1024,26 @@ def _t_from_matches(
         mt.reshape(-1)[fa] = 1
         _cumsum_rows(mt)
         rank_a = mt.reshape(-1).take(fa)
-        nt = np.zeros((Lc, n), dtype=np.uint8)
         fb = mp2.astype(np.int32, copy=False) * np.int32(n) + mc2
-        nt.reshape(-1)[fb] = 1
-        _cumsum_rows(nt)
+        if lengths is not None and n == len(lengths):
+            # row i of the cand-rank bitmap only has live columns where
+            # len > i, and ids are length ranks — live columns are a
+            # SUFFIX.  Zero and cumsum suffixes only: traffic drops from
+            # Lc*n cells to sum(len) cells (~3x for word corpora)
+            offs = np.searchsorted(
+                lengths, np.arange(1, Lc + 1, dtype=np.int64), side="left"
+            )
+            nt = np.empty((Lc, n), dtype=np.uint8)
+            for j in range(Lc):
+                nt[j, offs[j]:] = 0
+            nt.reshape(-1)[fb] = 1
+            for j in range(1, Lc):
+                o = offs[j]
+                np.add(nt[j, o:], nt[j - 1, o:], out=nt[j, o:])
+        else:
+            nt = np.zeros((Lc, n), dtype=np.uint8)
+            nt.reshape(-1)[fb] = 1
+            _cumsum_rows(nt)
         rank_b = nt.reshape(-1).take(fb)
         # A-sequence chars by input-rank; B-position i holds the char of
         # the record with cand-rank i, so gathering A at rank_b compares
@@ -985,7 +1302,7 @@ def _score_pass(
     idx = np.flatnonzero(matched)
     lo, hi = band
     max_cl = int(model.lengths[hi - 1]) if hi > lo else 0
-    t = _t_from_matches(matches, m, matched, n, input_len, max_cl)
+    t = _t_from_matches(matches, m, matched, n, input_len, max_cl, model.lengths)
     idx2, sc = _finalize_scores(
         model, m, idx, t[idx], in_codes_all, input_len, eff_min, w, thr, dtype
     )
@@ -1109,7 +1426,7 @@ def score(
                 matched = (m >= required) & (m > 0)
                 idx0 = np.flatnonzero(matched)
                 max_cl = int(model.lengths[cov[1] - 1]) if cov[1] > cov[0] else 0
-                t = _t_from_matches(matches, m, matched, n, input_len, max_cl)
+                t = _t_from_matches(matches, m, matched, n, input_len, max_cl, model.lengths)
                 idx, sc = _finalize_scores(
                     model, m, idx0, t[idx0], in_codes_all, input_len,
                     eff, w, thr, dtype,

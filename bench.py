@@ -31,11 +31,12 @@ import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".bench_cache")
-# 400k docs: large enough that the ~45 s of size-independent per-run work
-# (stage barriers, planning, CC endgame — BASELINE.md round-2 Amdahl
-# decomposition) stops dominating the 8-core leg, while a 2-core leg still
-# fits the measurement window; samples always state corpus_rows
-SCALING_ROWS = 400_000
+# 1M docs (round 3, VERDICT_r2 #2): the size-independent per-run work is
+# down to ~35 s (stage-merge + CC broadcast anti-join; BASELINE.md
+# decomposition), and at 1M docs the parallel fraction dominates both
+# legs — the 2-core leg stays inside the bench window (~11 min clean);
+# samples always state corpus_rows
+SCALING_ROWS = 1_000_000
 SCALING_SEED = 123
 
 _LEG_SCRIPT = """
