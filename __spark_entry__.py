@@ -1021,6 +1021,31 @@ def oracle_sql() -> dict[str, str]:
               FROM documents WHERE doc_id < 50 AND octet_length(encode(text)) > 0
             ), UNNEST(range(0, greatest(cast(ceil(L / 4096.0) AS INT), 1), 3)) AS u(i)
         """,
+        # consistency oracles (VERDICT_r2 #5): the *_exact variants run the
+        # FULL approximate machinery in configurations that provably
+        # degenerate to brute force (IVF probing every list; LSH with one
+        # bucket), so the already-SQL-expressible brute-force relations ARE
+        # their oracles — same shapes, same rounding, same tie-breaks.
+        "ann_cosine_topk_ivf_exact": f"""
+            WITH probes AS (
+              SELECT vec_id AS probe_id, embedding AS pvec FROM embeddings WHERE vec_id < 5
+            ), scored AS (
+              SELECT probe_id, e.vec_id,
+                     round({V.cosine_sql('pvec', 'e.embedding')}, 5) AS cos_r
+              FROM probes, embeddings e
+            )
+            SELECT probe_id, vec_id, cos_r, rank FROM (
+              SELECT *, row_number() OVER (PARTITION BY probe_id
+                                           ORDER BY cos_r DESC, vec_id ASC) AS rank
+              FROM scored) WHERE rank <= 10
+        """,
+        "dedup_embedding_lsh_exact": f"""
+            WITH e AS (SELECT vec_id, embedding FROM embeddings)
+            SELECT a.vec_id AS a, b.vec_id AS b,
+                   round({V.cosine_sql('a.embedding', 'b.embedding')}, 5) AS cos_r
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round({V.cosine_sql('a.embedding', 'b.embedding')}, 5) >= 0.4
+        """,
         # pipeline_lsh_pairs / pipeline_simhash_pairs: intentionally no
         # oracle — multiply-shift/FNV hashing is not SQL-expressible; the
         # driver records rows-only and pytest owns their correctness.

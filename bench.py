@@ -57,16 +57,30 @@ def cpu_ticks():
         return 0, 0
 
 cores = int(sys.argv[1]); path = sys.argv[2]
+import shutil, atexit
+ck = tempfile.mkdtemp(prefix="bjws_scale_")
+atexit.register(shutil.rmtree, ck, ignore_errors=True)  # ~2 GB per leg
 # shuffle partitions scale with the cluster (8x cores, the standard 2-4x
 # rule with headroom for expansion-heavy self-joins): a fixed count
 # starves the bigger leg — measured 2.8x faster pair-gen at 8 cores going
-# from 8 to 64 partitions
-spark = get_spark(f"bjws-scaling-{cores}", cores=cores, shuffle_partitions=8 * cores)
+# from 8 to 64 partitions.
+# ActiveProcessorCount pins EVERY JVM thread pool (GC, netty, codegen) to
+# the leg's nominal width — exactly what a cgroup-limited executor
+# container does on a real cluster.  Without it the JVM sizes pools to
+# nproc=32 on this host and the pool thrash destroys scaling: measured
+# 8-core leg 393 s wall at 5.8/8 effective parallelism before, 212 s at
+# 7.6/8 after (round 3; the single biggest scaling fix).
+spark = get_spark(
+    f"bjws-scaling-{cores}", cores=cores, shuffle_partitions=8 * cores,
+    extra_conf={
+        "spark.driver.extraJavaOptions": f"-XX:ActiveProcessorCount={cores}"
+    },
+)
 docs = spark.read.parquet(path)
 n = docs.count()
 tot0, st0 = cpu_ticks()
 t0 = time.time()
-pipe = DedupPipeline(spark, DedupConfig(), tempfile.mkdtemp(prefix="bjws_scale_"))
+pipe = DedupPipeline(spark, DedupConfig(), ck)
 pipe.run(docs, "doc_id", "text").count()
 sec = time.time() - t0
 tot1, st1 = cpu_ticks()
@@ -115,6 +129,8 @@ def _code_key() -> str:
             if f.endswith(".py"):
                 with open(os.path.join(root, f), "rb") as fh:
                     h.update(fh.read())
+    # the leg protocol itself is part of what's measured
+    h.update(_LEG_SCRIPT.encode())
     h.update(str(SCALING_ROWS).encode())
     return h.hexdigest()[:16]
 
