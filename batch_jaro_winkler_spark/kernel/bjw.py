@@ -340,7 +340,13 @@ def _ensure_buckets(model: CandidateModel) -> None:
     actual hits, instead of comparing every band record per char."""
     if model.b_maxp != 0 or model.s_char is None or not len(model.s_char):
         return
-    P = int(model.s_pos.max()) + 1
+    # stride MUST be the global max position (+1), not the single-occ
+    # table's: _scan packs probe keys for BOTH this index and the
+    # counts-mode b2/bp indexes with the same P, so the two builds must
+    # agree by construction (b_maxp == b2_maxp) or every counts-mode
+    # probe on a corpus whose max position lives only in a
+    # multi-occurrence group would silently misalign.
+    P = int(model.pos_flat.max()) + 1
     S = model.nb_candidates + 1
     maxc = int(model.s_char[-1])  # s_char ascending
     if (maxc + 1) * P * S >= (1 << 62):
@@ -599,7 +605,13 @@ def _scan(
         if use_b and not detail:
             if model.b2_maxp == 0:
                 _ensure_buckets2(model)
-            use_b2 = model.b2_key is not None
+            # both index families are probed with the same packed stride
+            # P = b_maxp below; refuse b2 if the invariant ever breaks
+            # (e.g. a model built by an older pickle) rather than emit
+            # silently misaligned counts
+            use_b2 = (
+                model.b2_key is not None and model.b2_maxp == model.b_maxp
+            )
     if use_b and len(starts):
         # --- bucketed emission (zero per-record compares) --- a
         # (char, pos, cand) key index turns each (char, window position)
