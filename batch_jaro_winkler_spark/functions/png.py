@@ -112,7 +112,9 @@ def png_features(payloads: list) -> np.ndarray:
     for i, b in enumerate(payloads):
         px = decode_png(bytes(b))
         h, w, ch = px.shape
-        lum = px[:, :, : min(ch, 3)].mean(axis=2, dtype=np.float64)
+        # gray / gray+alpha: luminance is channel 0 only (alpha must not
+        # bleed into the stats); RGB / RGBA: mean of the 3 color channels
+        lum = px[:, :, : (1 if ch <= 2 else 3)].mean(axis=2, dtype=np.float64)
         hist = np.histogram(lum, bins=8, range=(0.0, 256.0))[0]
         hist = hist / max(lum.size, 1)
         out[i, 0] = w

@@ -213,12 +213,13 @@ def cosine_topk_ivf(
     )
     cents = np.stack([np.asarray(r[vec], dtype=np.float32) for r in sample])
     cents /= np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
-    n_probes = probes.count()
-    if n_probes > max_probes:
+    # guard scans at most max_probes+1 rows instead of counting the full
+    # probe lineage eagerly
+    if probes.limit(max_probes + 1).count() > max_probes:
         raise ValueError(
-            f"cosine_topk_ivf probe set has {n_probes} rows (> max_probes="
-            f"{max_probes}); the probe side is broadcast — for probe sets "
-            "this large, bucket both sides (cosine_topk_lsh) instead"
+            f"cosine_topk_ivf probe set exceeds max_probes={max_probes}; "
+            "the probe side is broadcast — for probe sets this large, "
+            "bucket both sides (cosine_topk_lsh) instead"
         )
     cb = ivf_assign(corpus.select(vec_id, vec), vec, cents, n_probe=1)
     pb = ivf_assign(probes.select(probe_id, probe_vec), probe_vec, cents, n_probe=n_probe)

@@ -157,7 +157,7 @@ def fingerprint_pairs(fps: DataFrame, cfg: DedupConfig) -> DataFrame:
 
     hot = sized.where(F.col("n_members") > cap)
 
-    def gen(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def gen(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("doc_id")
         ids = pdf["doc_id"].to_numpy(np.int64)
         pos = pdf["pos"].to_numpy(np.int32)

@@ -103,7 +103,7 @@ def candidate_pairs(buckets: DataFrame, cfg: DedupConfig) -> DataFrame:
         F.shiftrightunsigned(F.col("sort_key"), 64 - salt_bits).cast("int"),
     )
 
-    def gen(key, pdf: pd.DataFrame) -> pd.DataFrame:
+    def gen(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
         # unsigned sort order, consistent with the unsigned salt ranges
         order = np.lexsort(
             (

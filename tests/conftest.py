@@ -25,3 +25,7 @@ def sf001_dir():
 @pytest.fixture(scope="session")
 def sf01_dir():
     return "/root/testdata/sf0.01"
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running end-to-end tests")

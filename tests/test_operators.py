@@ -208,6 +208,27 @@ def test_png_decoder_roundtrip_and_registry(spark):
     assert feats[3]["features"] is None and feats[3]["decode_error"]
 
 
+def test_png_features_gray_alpha_luminance_ignores_alpha():
+    """ADVICE r3: color type 4 (gray+alpha) luminance must come from the
+    gray plane only — identical gray data under different alpha planes
+    must yield identical luminance stats and histogram."""
+    from batch_jaro_winkler_spark.functions.png import encode_png, png_features
+
+    rng = np.random.default_rng(23)
+    gray = rng.integers(0, 256, (6, 5, 1), dtype=np.uint8)
+    a_lo = np.full((6, 5, 1), 3, dtype=np.uint8)
+    a_hi = np.full((6, 5, 1), 250, dtype=np.uint8)
+    f_lo, f_hi = png_features(
+        [encode_png(np.dstack([gray[..., 0], a_lo[..., 0]]).reshape(6, 5, 2)),
+         encode_png(np.dstack([gray[..., 0], a_hi[..., 0]]).reshape(6, 5, 2))]
+    )
+    f_gray = png_features([encode_png(gray)])[0]
+    # stats + histogram slots agree with the pure-gray image (crc32 slot 7
+    # and the channels slot 2 legitimately differ)
+    for sl in (slice(3, 7), slice(8, 16)):
+        assert f_lo[sl].tolist() == f_hi[sl].tolist() == f_gray[sl].tolist()
+
+
 # --- streaming faces ---
 
 
