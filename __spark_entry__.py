@@ -680,6 +680,87 @@ def _pipeline_simhash_pairs(spark, sf_dir):
     return simhash_pairs(sig.select("doc_id", "simhash"), max_hamming=3)
 
 
+# --- exact-configuration twins for the pipeline pair generators ---
+# (VERDICT_r3 #4, the round-3 pattern that graded IVF/embedding-LSH):
+# with shingle_k larger than any document, _batch_shingle_hashes emits ONE
+# whole-text shingle per doc, so the 128-perm signature, every band fold,
+# and the simhash all become injective functions of the normalized text
+# (64-bit hash, deterministic data) — the emitted pair relation is exactly
+# "equal nonempty normalized text", which DuckDB computes directly.  The
+# derived table plants 40 verbatim copies of 8 donors (sf0.01 raw docs
+# have zero exact dups, so without planting this would grade an empty
+# 0==0 relation — the round-2 trap).
+_PG_RAW_N = 160
+_PG_N = 200
+_PG_DONOR_STEP = 20
+_PG_SHINGLE_K = 1_000_000
+
+
+def _pg_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    raw = docs.where(F.col("doc_id") < _PG_RAW_N).select("doc_id", "text")
+    copies = (
+        spark.range(_PG_RAW_N, _PG_N)
+        .select(
+            F.col("id").alias("doc_id"),
+            (((F.col("id") - _PG_RAW_N) % 8) * _PG_DONOR_STEP).alias("donor_id"),
+        )
+        .join(
+            F.broadcast(
+                docs.where(F.col("doc_id") < _PG_RAW_N).select(
+                    F.col("doc_id").alias("donor_id"), F.col("text").alias("dtext")
+                )
+            ),
+            "donor_id",
+        )
+        .select("doc_id", F.col("dtext").alias("text"))
+    )
+    return raw.unionByName(copies)
+
+
+def _pg_docs_sql() -> str:
+    return f"""
+      pg_docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < {_PG_RAW_N}
+        UNION ALL
+        SELECT {_PG_RAW_N} + i AS doc_id, d.text
+        FROM UNNEST(generate_series(0, {_PG_N - _PG_RAW_N - 1})) AS t(i)
+        JOIN documents d ON d.doc_id = (i % 8) * {_PG_DONOR_STEP}
+      )"""
+
+
+def _pipeline_lsh_pairs_exact(spark, sf_dir):
+    """The real signature→band→pair machinery in an exact configuration:
+    one whole-text shingle ⇒ band buckets are equality classes of
+    normalized text ⇒ candidate_pairs must equal the exact-duplicate
+    relation, agreeing on all 32 bands (n_bands = 32 for every pair)."""
+    from batch_jaro_winkler_spark.operators.config import DedupConfig
+    from batch_jaro_winkler_spark.operators.lsh import band_buckets, candidate_pairs
+    from batch_jaro_winkler_spark.operators.signatures import compute_signatures
+
+    cfg = DedupConfig(shingle_k=_PG_SHINGLE_K)
+    sig = compute_signatures(_pg_docs(spark, sf_dir), cfg, "doc_id", "text")
+    return candidate_pairs(band_buckets(sig), cfg).select(
+        "a", "b", F.col("n_bands").cast("long").alias("n_bands")
+    )
+
+
+def _pipeline_simhash_pairs_exact(spark, sf_dir):
+    """Pigeonhole SimHash pairing at max_hamming=0 (single full-width
+    block) on single-shingle signatures: the pair relation must equal the
+    exact-duplicate relation with hamming = 0."""
+    from batch_jaro_winkler_spark.operators.config import DedupConfig
+    from batch_jaro_winkler_spark.operators.signatures import compute_signatures
+    from batch_jaro_winkler_spark.operators.simhash import simhash_pairs
+
+    cfg = DedupConfig(shingle_k=_PG_SHINGLE_K)
+    sig = compute_signatures(_pg_docs(spark, sf_dir), cfg, "doc_id", "text")
+    return simhash_pairs(
+        sig.where(F.col("n_tokens") > 0).select("doc_id", "simhash"),
+        max_hamming=0,
+    ).select("a", "b", F.col("hamming").cast("long").alias("hamming"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator coverage (SURVEY.md §2.2)
@@ -722,6 +803,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # scale-path operators (rows-only checks; pytest owns correctness)
         "pipeline_lsh_pairs": _pipeline_lsh_pairs,
         "pipeline_simhash_pairs": _pipeline_simhash_pairs,
+        "pipeline_lsh_pairs_exact": _pipeline_lsh_pairs_exact,
+        "pipeline_simhash_pairs_exact": _pipeline_simhash_pairs_exact,
     }
 
 
@@ -866,6 +949,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    CASE WHEN len(toks) > 0 THEN {simhash32} ELSE 0 END AS simhash32
             FROM (SELECT doc_id, {_sql_tokens('text')} AS toks FROM documents)
+        """,
+        # exact-config twins: single whole-text shingle ⇒ the pair relation
+        # is exactly "equal nonempty normalized text" over the planted table
+        "pipeline_lsh_pairs_exact": f"""
+            WITH {_pg_docs_sql()},
+            nrm AS (
+              SELECT doc_id, {TX.normalize_sql('text')} AS nrm FROM pg_docs
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b, 32::BIGINT AS n_bands
+            FROM nrm a JOIN nrm b ON a.nrm = b.nrm AND a.doc_id < b.doc_id
+            WHERE a.nrm <> ''
+        """,
+        "pipeline_simhash_pairs_exact": f"""
+            WITH {_pg_docs_sql()},
+            nrm AS (
+              SELECT doc_id, {TX.normalize_sql('text')} AS nrm FROM pg_docs
+            )
+            SELECT a.doc_id AS a, b.doc_id AS b, 0::BIGINT AS hamming
+            FROM nrm a JOIN nrm b ON a.nrm = b.nrm AND a.doc_id < b.doc_id
+            WHERE a.nrm <> ''
         """,
         "dedup_substring_exact": _substring_oracle_sql(),
         "dedup_substring_parts": _substring_oracle_sql(),

@@ -26,7 +26,11 @@ def simhash_blocks(
     width = bits // n_blocks
     blocks = F.array(
         *[
-            F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
+            # full-width block (max_hamming=0): the mask constant would
+            # overflow a long literal and is a no-op anyway
+            F.shiftrightunsigned(F.col("simhash"), i * width)
+            if width >= 64
+            else F.shiftrightunsigned(F.col("simhash"), i * width).bitwiseAND(
                 F.lit((1 << width) - 1)
             )
             for i in range(n_blocks)
