@@ -189,6 +189,20 @@ class CandidateModel:
     bp_goff: np.ndarray | None = None
     bp_key: np.ndarray | None = None
     bp_cand: np.ndarray | None = None
+    # per-OCCURRENCE view of the multi-occurrence groups (_ensure_m2occ),
+    # sorted by (char, cand, pos): with a single input occurrence there is
+    # no cursor interaction, so the greedy match is the group's first
+    # occurrence inside the window — occurrence o matches iff
+    # pos_o in [i0-r, i0+r] and prev_o < i0-r (prev = sentinel for each
+    # group's first occurrence).  One branchless pass over the chars'
+    # occurrence ranges replaces the per-input-char resume-cursor walk.
+    m2o_char: np.ndarray | None = None
+    m2o_cand: np.ndarray | None = None
+    m2o_pos: np.ndarray | None = None
+    m2o_prev: np.ndarray | None = None
+    m2o_rhalf: np.ndarray | None = None
+    m2o_grp: np.ndarray | None = None   # group index per occurrence
+    m2o_goff: np.ndarray | None = None  # group -> occurrence offset (+1 tail)
 
     @property
     def nb_candidates(self) -> int:
@@ -197,10 +211,13 @@ class CandidateModel:
     def __getstate__(self):
         d = dict(self.__dict__)
         for f in ("b_key", "b_cand", "b2_key", "b2_cand",
-                  "bp_gvals", "bp_goff", "bp_key", "bp_cand"):
+                  "bp_gvals", "bp_goff", "bp_key", "bp_cand",
+                  "m2o_char", "m2o_cand", "m2o_pos", "m2o_prev", "m2o_rhalf",
+                  "m2o_grp", "m2o_goff"):
             d[f] = None
         d["b_maxp"] = 0
         d["b2_maxp"] = 0
+        d.pop("_len_f32", None)  # query-time cache, not a dataclass field
         return d
 
 
@@ -320,6 +337,52 @@ def _ensure_aux(model: CandidateModel) -> None:
     model.m2_start = model.group_start[multi]
     model.m2_end = model.group_end[multi]
     model.m2_len = glen[multi]
+
+
+# sentinel "previous occurrence" for each group's first occurrence: below
+# any possible window floor (positions are >= 0, floors are >= -len/2)
+_M2O_PREV_SENTINEL = np.int32(-(1 << 30))
+
+
+def _ensure_m2occ(model: CandidateModel) -> None:
+    """Per-occurrence expansion of the multi-occurrence groups (lazy):
+    (char, cand, pos, prev-pos-in-group, cand length) per occurrence,
+    (char, cand, pos)-sorted by construction — the closed-form emission
+    for once-occurring input chars scans these as contiguous slices."""
+    if model.m2o_char is not None:
+        return
+    _ensure_aux(model)
+    counts = (model.m2_end.astype(np.int64) - model.m2_start)
+    total = int(counts.sum())
+    model.m2o_char = np.repeat(model.m2_char, counts)
+    model.m2o_cand = np.repeat(model.m2_cand, counts)
+    # half-window radius from the candidate length alone: the query-time
+    # radius is max(this, r_in) — both sides are the same monotone
+    # max((L>>1)-1, 0) form, so the max picks the longer of cand/input
+    lens = np.repeat(model.m2_len, counts)
+    model.m2o_rhalf = np.maximum((lens >> 1) - np.int32(1), np.int32(0))
+    model.m2o_grp = np.repeat(
+        np.arange(len(counts), dtype=np.int64), counts
+    )
+    goff = np.zeros(len(counts) + 1, dtype=np.int64)
+    np.cumsum(counts, out=goff[1:])
+    model.m2o_goff = goff
+    if total:
+        excl = np.zeros(len(counts), dtype=np.int64)
+        np.cumsum(counts[:-1], out=excl[1:])
+        ridx = np.arange(total, dtype=np.int64) + np.repeat(
+            model.m2_start.astype(np.int64) - excl, counts
+        )
+        pos = model.pos_flat[ridx].astype(np.int32, copy=False)
+        prev = np.empty(total, dtype=np.int32)
+        prev[1:] = pos[:-1]
+        prev[0] = _M2O_PREV_SENTINEL
+        prev[excl] = _M2O_PREV_SENTINEL  # each group's first occurrence
+        model.m2o_pos = pos
+        model.m2o_prev = prev
+    else:
+        model.m2o_pos = np.empty(0, dtype=np.int32)
+        model.m2o_prev = np.empty(0, dtype=np.int32)
 
 
 # build the position-bucket index only for models big enough that the
@@ -799,6 +862,58 @@ def _scan(
                     )
                     mch_l.append(ords[ok])
 
+    # --- batched multi-occurrence closed form for ONCE-occurring input
+    # chars: a single input occurrence has no cursor interaction, so the
+    # greedy match of a group is its first occurrence inside the window —
+    # occurrence o matches iff pos_o in [i0-r, i0+r] and prev_o < i0-r
+    # (prev = sentinel on each group's first occurrence).  One branchless
+    # pass over the chars' occurrence ranges replaces the resume-cursor
+    # walk, which costs several full-range passes per input char.
+    if have_multi:
+        m2b = np.flatnonzero((ends - starts == 1) & ~m2_done)
+        if len(m2b):
+            _ensure_m2occ(model)
+            mo_char, mo_cand = model.m2o_char, model.m2o_cand
+            mo_pos, mo_prev = model.m2o_pos, model.m2o_prev
+            mo_rhalf = model.m2o_rhalf
+            r_in32 = np.int32(r_in)
+            for ci in m2b:
+                ch = sorted_chars[starts[ci]]
+                chpair = np.asarray([ch, ch + 1], dtype=mo_char.dtype)
+                C0, C1 = np.searchsorted(mo_char, chpair, side="left")
+                if C0 == C1:
+                    continue
+                i0c = np.int32(order[starts[ci]])
+                for lo, hi in id_slices:
+                    if lo >= hi:
+                        continue
+                    g0, g1 = C0 + np.searchsorted(
+                        mo_cand[C0:C1],
+                        np.asarray([lo, hi], dtype=mo_cand.dtype),
+                        side="left",
+                    )
+                    if g0 >= g1:
+                        continue
+                    # contiguous slice views: no gathers, ~7 int32 passes
+                    rr = np.maximum(mo_rhalf[g0:g1], r_in32)
+                    lo_w = i0c - rr
+                    pos = mo_pos[g0:g1]
+                    ok = pos >= lo_w
+                    ok &= pos <= i0c + rr
+                    ok &= mo_prev[g0:g1] < lo_w
+                    hits = mo_cand[g0:g1][ok]
+                    if len(hits):
+                        mc_l.append(hits)
+                        if detail:
+                            mi_l.append(
+                                np.full(len(hits), i0c, dtype=np.int32)
+                            )
+                            mp_l.append(pos[ok])
+                            mch_l.append(
+                                np.full(len(hits), ci, dtype=ord_dtype)
+                            )
+            m2_done[m2b] = True
+
     for ch_ord, (s0, s1) in enumerate(zip(starts, ends)):
         ch = sorted_chars[s0]
         I = order[s0:s1]  # stable argsort → ascending input positions
@@ -835,40 +950,55 @@ def _scan(
                     # "0 if r <= 1 else r - 1" == max(r - 1, 0): one pass
                     r = np.maximum((s_len[mid:g1] >> 1) - np.int32(1), np.int32(0))
                     emit_single(mid, g1, r, ch_ord, I, nI, i0)
-        # --- multi-occurrence groups: exact resume-cursor walk ---
+        # --- multi-occurrence groups (repeated input chars): exact greedy
+        # cursor semantics, vectorized per input occurrence — the cursor
+        # advance "skip occurrences below the window floor" is
+        # cur = max(cur, first-occurrence-with-pos >= lo_w), and that
+        # boundary occurrence is found branchlessly over the contiguous
+        # occurrence slice ((pos >= lo_w) & (prev < lo_w) is unique per
+        # group), replacing the repeated random pos_flat gathers of the
+        # old while-loop walk.
         if not have_multi or m2_done[ch_ord]:
             continue
-        c0, c1 = np.searchsorted(m2_char, chpair, side="left")
-        if c0 == c1:
+        _ensure_m2occ(model)
+        mo_cand2 = model.m2o_cand
+        G0, G1 = np.searchsorted(m2_char, chpair, side="left")
+        if G0 == G1:
             continue
+        goff = model.m2o_goff
         for lo, hi in id_slices:
             if lo >= hi:
                 continue
             g0, g1 = (
-                c0
+                G0
                 + np.searchsorted(
-                    m2_cand[c0:c1],
+                    m2_cand[G0:G1],
                     np.asarray([lo, hi], dtype=m2_cand.dtype),
                     side="left",
                 )
             )
             if g0 == g1:
                 continue
-            rm = np.maximum(m2_len[g0:g1], np.int32(Li)) >> 1
-            rm = np.maximum(rm - np.int32(1), np.int32(0))
-            cur = m2_start[g0:g1].astype(np.int64)
-            end = m2_end[g0:g1]
+            C0, C1 = int(goff[g0]), int(goff[g1])
+            st = goff[g0:g1] - C0
+            en = goff[g0 + 1 : g1 + 1] - C0
+            posw = model.m2o_pos[C0:C1]
+            rr_g = np.maximum(
+                np.maximum((m2_len[g0:g1] >> 1) - np.int32(1), np.int32(0)),
+                np.int32(r_in),
+            )
+            cur = st.copy()
             cm = m2_cand[g0:g1]
+            last = C1 - C0 - 1
             for i_pos in I:
-                lo_w = i_pos - rm
+                lo_w = np.int32(i_pos) - rr_g
                 while True:  # resume cursors past dead occurrences
-                    pos = pos_flat[np.minimum(cur, pf_last)]
-                    adv = (cur < end) & (pos < lo_w)
+                    pos = posw[np.minimum(cur, last)]
+                    adv = (cur < en) & (pos < lo_w)
                     if not adv.any():
                         break
                     cur[adv] += 1
-                pos = pos_flat[np.minimum(cur, pf_last)]
-                hitm = (cur < end) & (pos <= i_pos + rm)
+                hitm = (cur < en) & (pos <= np.int32(i_pos) + rr_g)
                 if hitm.any():
                     h = np.flatnonzero(hitm)
                     mc_l.append(cm[h])
@@ -981,13 +1111,14 @@ def _cumsum_rows(mat: np.ndarray) -> None:
 
 def _t_from_matches(
     matches: tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray],
-    m: np.ndarray,
-    matched: np.ndarray,
+    m: np.ndarray | None,
+    matched: np.ndarray | None,
     n: int,
     input_len: int = 0,
     max_cand_len: int = 0,
     lengths: np.ndarray | None = None,
-) -> np.ndarray:
+    required: np.ndarray | None = None,
+):
     """Transpositions (O11) from detail matches.
 
     Two strategies, picked by shape:
@@ -1001,24 +1132,34 @@ def _t_from_matches(
     * packed-key argsort (long texts or huge bands): sort the (smaller)
       matched & m>=2 subset by (cand, input_pos) and (cand, cand_pos)
       and count char mismatches — O(N log N) but shape-independent.
+
+    With ``m=None`` (the detail full pass), the match counts are derived
+    for free from the input-rank grid's final cumsum row (counts <= Li
+    fit the uint8 cells) instead of a separate 1M+-record bincount, and
+    ``(t, m, matched)`` is returned (``required`` must be given).
     """
+    derive_m = m is None
     t = np.zeros(n, dtype=np.int64)
     mc, mi, mp, mch = matches
     if not len(mc):
+        if derive_m:
+            m = np.zeros(n, dtype=np.int64)
+            return t, m, np.zeros(n, dtype=bool)
         return t
-    good = matched & (m > 1)
-    n_good_recs = int(m[good].sum())
     dense_ok = (
         0 < input_len <= 250
         and 0 < max_cand_len <= 250
         and n * (input_len + max_cand_len) <= _T_DENSE_CAP
     )
+    if not derive_m:
+        good = matched & (m > 1)
+        n_good_recs = int(m[good].sum())
     if dense_ok:
         # filtering to the m>=2 subset only pays when it actually shrinks
         # the record set; m==1 records are harmless here (rank 0 vs rank 0,
         # same char → never a mismatch) and unmatched candidates' t values
         # are never read (finalize gathers t[idx] with idx ⊆ matched)
-        if n_good_recs < (len(mc) >> 1):
+        if not derive_m and n_good_recs < (len(mc) >> 1):
             keep = np.flatnonzero(good[mc]).astype(np.int32)
             mc2 = mc.take(keep)
             mi2 = mi.take(keep)
@@ -1036,6 +1177,9 @@ def _t_from_matches(
         mt.reshape(-1)[fa] = 1
         _cumsum_rows(mt)
         rank_a = mt.reshape(-1).take(fa)
+        if derive_m:
+            m = mt[Li - 1].astype(np.int64)
+            matched = (m >= required) & (m > 0)
         fb = mp2.astype(np.int32, copy=False) * np.int32(n) + mc2
         if lengths is not None and n == len(lengths):
             # row i of the cand-rank bitmap only has live columns where
@@ -1061,16 +1205,32 @@ def _t_from_matches(
         # the record with cand-rank i, so gathering A at rank_b compares
         # position-i chars of the two orderings record-wise.  ch values
         # are distinct-char ORDINALS (_scan) < Li <= 250, so uint8 cells
-        # suffice; every gathered cell (rank < m) is always written
-        a_chars = np.zeros(n * Li, dtype=np.uint8)
-        ch2 = ch2.astype(np.uint8, copy=False)
-        base = mc2 * np.int32(Li)
-        a_chars[base + rank_a.astype(np.int32) - np.int32(1)] = ch2
-        other = a_chars.take(base + rank_b.astype(np.int32) - np.int32(1))
-        diff = other != ch2
-        if diff.any():
-            t = np.bincount(mc2[diff], minlength=n) >> 1
+        # suffice.  Only records with rank_a != rank_b can mismatch: when
+        # both ranks equal p the rank-p slots of BOTH orderings hold this
+        # record's own char — so restrict the scatter/gather to that
+        # subset (and for any position one side of which is in the
+        # subset, the other side provably is too, so every gathered cell
+        # is still written).
+        s = np.flatnonzero(rank_a != rank_b)
+        if len(s):
+            mcs = mc2.take(s)
+            chs = ch2.take(s).astype(np.uint8, copy=False)
+            a_chars = np.zeros(n * Li, dtype=np.uint8)
+            base = mcs * np.int32(Li)
+            a_chars[base + rank_a.take(s).astype(np.int32) - np.int32(1)] = chs
+            other = a_chars.take(
+                base + rank_b.take(s).astype(np.int32) - np.int32(1)
+            )
+            diff = other != chs
+            if diff.any():
+                t = np.bincount(mcs[diff], minlength=n) >> 1
+        if derive_m:
+            return t, m, matched
         return t
+    if derive_m:
+        m = np.bincount(mc, minlength=n)
+        matched = (m >= required) & (m > 0)
+        good = matched & (m > 1)
     sel = good[mc]
     if sel.any():
         mc2, mch2 = mc[sel], mch[sel]
@@ -1081,6 +1241,8 @@ def _t_from_matches(
         by_pos = np.argsort(base | mp[sel].astype(np.int64))
         diff = mch2[by_i] != mch2[by_pos]
         t = np.bincount(mc2[by_i][diff], minlength=n) >> 1
+    if derive_m:
+        return t, m, matched
     return t
 
 
@@ -1101,7 +1263,14 @@ def _finalize_scores(
     and Winkler (O13) arithmetic identical to the reference."""
     lengths = model.lengths
     fm = m[idx].astype(dtype)
-    fl = lengths[idx].astype(dtype)
+    if dtype == np.float32 and len(idx) > (len(lengths) >> 2):
+        # wide emission: gather from a cached float32 copy instead of
+        # paying an int->float conversion pass per query
+        if getattr(model, "_len_f32", None) is None:
+            model._len_f32 = lengths.astype(np.float32)
+        fl = model._len_f32[idx]
+    else:
+        fl = lengths[idx].astype(dtype)
     ft = t_idx.astype(dtype)
     sc = (fm / dtype(input_len) + fm / fl + (fm - ft) / fm) / dtype(3.0)
     if w >= 0.0:
@@ -1115,6 +1284,10 @@ def _finalize_scores(
             run = np.cumprod(eq, axis=1)
             pl = np.minimum(run.sum(axis=1), plen).astype(dtype)
             sc = np.where(boost, sc + pl * dtype(w) * (dtype(1.0) - sc), sc)
+    if w < 0.0 and (not len(eff_min) or float(eff_min.max()) <= 0.0):
+        # pure Jaro with a zero floor everywhere: sc >= 0 always (m > 0
+        # for every scored id), the filter is a no-op — skip mask+extract
+        return idx, sc
     keep = sc >= eff_min[idx]
     idx = idx[keep]
     sc = sc[keep]
@@ -1309,12 +1482,13 @@ def _score_pass(
             )
     required = _required_matches(model.lengths, input_len, eff_min, w)
     matches = _collect_matches(model, in_codes_all, input_len, slices)
-    m = np.bincount(matches[0], minlength=n)
-    matched = (m >= required) & (m > 0)
-    idx = np.flatnonzero(matched)
     lo, hi = band
     max_cl = int(model.lengths[hi - 1]) if hi > lo else 0
-    t = _t_from_matches(matches, m, matched, n, input_len, max_cl, model.lengths)
+    t, m, matched = _t_from_matches(
+        matches, None, None, n, input_len, max_cl, model.lengths,
+        required=required,
+    )
+    idx = np.flatnonzero(matched)
     idx2, sc = _finalize_scores(
         model, m, idx, t[idx], in_codes_all, input_len, eff_min, w, thr, dtype
     )

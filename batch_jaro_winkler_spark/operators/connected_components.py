@@ -124,17 +124,25 @@ def connected_components(
     algorithms, avoiding 10+ scheduling rounds on a tiny remainder.
 
     ``all_nodes`` (optional, one ``doc_id`` column) adds singleton docs with
-    cluster_id = doc_id, so the output is a total cluster assignment.
+    cluster_id = doc_id, so the output is a total cluster assignment.  When
+    given, ``all_nodes`` must cover every edge endpoint (the pipeline's
+    docs table always does) — the local endgame then emits the assignment
+    as ONE narrow map over ``all_nodes`` with the union-find result as a
+    broadcast variable, instead of shipping a driver DataFrame out and
+    hash-building it back for an anti-join.
     """
     max_iters = (cfg or DedupConfig()).cc_max_iters
-    cur = _canon(edges).localCheckpoint(eager=True)
-    n_edges = cur.count()  # threshold gate needs the count only
+    # lazy checkpoint + count: the count action materializes the
+    # checkpoint blocks, so the threshold gate costs ONE job, not two
+    cur = _canon(edges).localCheckpoint(eager=False)
+    n_edges = cur.count()
     spark = cur.sparkSession
     if n_edges <= local_threshold:
         # Arrow fetch, both directions: toPandas() lands the edge list as
         # two int64 numpy columns (~128 MB at the 8M-edge threshold —
         # nothing next to the 48g driver heap; a row-wise collect() builds
         # millions of py4j Row objects and costs tens of driver seconds)
+        import numpy as np
         import pandas as pd
 
         epdf = cur.toPandas()
@@ -142,24 +150,40 @@ def connected_components(
             nodes, roots = _local_union_find(
                 epdf["hi"].to_numpy(), epdf["lo"].to_numpy()
             )
+        else:
+            nodes = roots = np.empty(0, dtype=np.int64)
+        if all_nodes is not None:
+            # nodes is sorted (np.unique): membership + root lookup are
+            # vectorized binary searches inside a narrow map — the write
+            # stays as wide as all_nodes' partitioning, no driver
+            # round-trip, no broadcast-hash build of a million-key table
+            b = spark.sparkContext.broadcast((nodes, roots))
+
+            def assign_map(batches):
+                nd, rt = b.value
+                for pdf in batches:
+                    ids = pdf["doc_id"].to_numpy(np.int64)
+                    if len(nd):
+                        j = np.searchsorted(nd, ids)
+                        j = np.minimum(j, len(nd) - 1)
+                        hit = nd[j] == ids
+                        cl = np.where(hit, rt[j], ids)
+                    else:
+                        cl = ids
+                    yield pd.DataFrame({"doc_id": ids, "cluster_id": cl})
+
+            return all_nodes.select(
+                F.col(all_nodes.columns[0]).cast("long").alias("doc_id")
+            ).mapInPandas(assign_map, "doc_id long, cluster_id long")
+        if len(nodes):
             pdf = pd.DataFrame({"doc_id": nodes, "cluster_id": roots})
         else:
             pdf = pd.DataFrame(
                 [(int(-1), int(-1))], columns=["doc_id", "cluster_id"]
             ).astype("int64")
         assign = spark.createDataFrame(pdf)
-        if not len(epdf):
+        if not len(nodes):
             assign = assign.where(F.lit(False))
-        if all_nodes is not None:
-            # the assignment side is bounded by local_threshold rows —
-            # broadcast it so the singleton anti-join never shuffles the
-            # (much larger) all_nodes table
-            singletons = (
-                all_nodes.select(F.col(all_nodes.columns[0]).alias("doc_id"))
-                .join(F.broadcast(assign.select("doc_id")), "doc_id", "left_anti")
-                .withColumn("cluster_id", F.col("doc_id"))
-            )
-            assign = assign.union(singletons)
         return assign
     prev_sig = _checksum(cur)
     for _ in range(max_iters):
