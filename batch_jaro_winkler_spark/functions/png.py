@@ -18,7 +18,7 @@ import zlib
 
 import numpy as np
 
-__all__ = ["png_info", "decode_png", "png_features", "encode_png"]
+__all__ = ["png_info", "decode_png", "png_features", "encode_png", "resize_png"]
 
 _SIG = b"\x89PNG\r\n\x1a\n"
 _CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
@@ -162,3 +162,39 @@ def encode_png(px: np.ndarray, filter_type: int = 0) -> bytes:
     ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
     idat = zlib.compress(b"".join(rows))
     return _SIG + chunk(b"IHDR", ihdr) + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+
+
+def _axis_weights(src: int, dst: int) -> np.ndarray:
+    """(dst, src) box-filter weight matrix: W[i, j] = the fraction of
+    output interval i covered by source cell j, normalized so each row
+    sums to 1 — exact area-average resampling for both up- and
+    down-scaling, as a dense matmul (thumbnail shapes keep it tiny)."""
+    scale = src / dst
+    w = np.zeros((dst, src), dtype=np.float64)
+    for i in range(dst):
+        lo = i * scale
+        hi = (i + 1) * scale
+        j0 = int(np.floor(lo))
+        j1 = min(int(np.ceil(hi)), src)
+        for j in range(j0, j1):
+            w[i, j] = min(hi, j + 1) - max(lo, j)
+    w /= w.sum(axis=1, keepdims=True)
+    return w
+
+
+def resize_png(payload: bytes, *, width: int, height: int) -> bytes:
+    """Real PNG resize: decode -> exact box-average to (height, width) ->
+    re-encode.  Registered as the default 'resize' transform for
+    image/png payloads (multimodal.resize_images); other mimes keep the
+    declared stub until a real decoder is registered."""
+    if width <= 0 or height <= 0:
+        raise ValueError("resize_png: target dims must be positive")
+    px = decode_png(bytes(payload))
+    h, w, ch = px.shape
+    wr = _axis_weights(h, height)
+    wc = _axis_weights(w, width)
+    # rows then cols, per channel: (H',w,ch) then (H',W',ch)
+    tmp = np.tensordot(wr, px.astype(np.float64), axes=(1, 0))
+    out = np.tensordot(tmp, wc, axes=(1, 1)).transpose(0, 2, 1)
+    out8 = np.clip(np.rint(out), 0, 255).astype(np.uint8)
+    return encode_png(np.ascontiguousarray(out8))

@@ -179,9 +179,19 @@ def decode_features(
 _TRANSFORMS: dict[str, Callable] = {}
 
 
-def register_transform(name: str, fn: Callable) -> None:
-    """Swap in a real media transform: fn(payload: bytes, **params) -> bytes."""
-    _TRANSFORMS[name] = fn
+def register_transform(name: str, fn: Callable, mime: str | None = None) -> None:
+    """Swap in a real media transform: fn(payload: bytes, **params) -> bytes.
+
+    With ``mime`` the transform applies to that mime only (dispatch falls
+    back to the unscoped name, then the declared stub)."""
+    _TRANSFORMS[(name, mime) if mime else name] = fn
+
+
+# NOTE: transform dispatch must reference _TRANSFORMS *directly inside*
+# the mapInPandas closure: cloudpickle captures a referenced module-level
+# dict by VALUE (runtime registrations ship to workers), but a helper
+# FUNCTION here would pickle by reference and the worker's fresh import
+# would only see import-time registrations.
 
 
 def _stub_resize(payload: bytes, width: int, height: int) -> bytes:
@@ -219,13 +229,16 @@ def resize_images(
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        fn = _TRANSFORMS.get("resize", _stub_resize)
         for pdf in batches:
             rows = []
             for doc_id, payload, mime in zip(
                 pdf["doc_id"], pdf["payload"], pdf["mime"]
             ):
                 try:
+                    # unscoped user transform overrides mime-scoped defaults
+                    fn = _TRANSFORMS.get("resize") or _TRANSFORMS.get(
+                        ("resize", mime), _stub_resize
+                    )
                     thumb = fn(bytes(payload), width=width, height=height)
                     rows.append(
                         (doc_id, mime, thumb, len(payload), len(thumb), None)
@@ -296,3 +309,11 @@ def sample_frames(
     return metad.mapInPandas(
         run, schema="doc_id long, frame_no int, frame binary"
     )
+
+
+# PNG gets a REAL default resize (pure-python decoder + box-average +
+# re-encode, functions/png.py) — the sha-stub remains only for mimes with
+# no in-sandbox decoder (jpeg/audio/video), still swappable per mime.
+from batch_jaro_winkler_spark.functions.png import resize_png as _png_resize
+
+register_transform("resize", _png_resize, mime="image/png")

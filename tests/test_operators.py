@@ -229,6 +229,45 @@ def test_png_features_gray_alpha_luminance_ignores_alpha():
         assert f_lo[sl].tolist() == f_hi[sl].tolist() == f_gray[sl].tolist()
 
 
+def test_png_resize_is_real_and_default(spark):
+    """VERDICT_r3 #5: image/png payloads resize through the REAL
+    decode -> box-average -> encode path by default; other mimes keep the
+    declared stub; corrupt PNGs soft-fail into resize_error."""
+    from batch_jaro_winkler_spark import multimodal as mm
+    from batch_jaro_winkler_spark.functions.png import (
+        decode_png,
+        encode_png,
+        png_info,
+        resize_png,
+    )
+
+    rng = np.random.default_rng(31)
+    # integer-factor downscale: box average == exact 2x2 block means
+    px = rng.integers(0, 256, (8, 6, 3), dtype=np.uint8)
+    out = decode_png(resize_png(encode_png(px), width=3, height=4))
+    assert out.shape == (4, 3, 3)
+    blocks = px.reshape(4, 2, 3, 2, 3).mean(axis=(1, 3))
+    assert np.array_equal(out, np.clip(np.rint(blocks), 0, 255).astype(np.uint8))
+    # upscale keeps dims and constant regions exactly
+    flat = np.full((2, 2, 1), 77, dtype=np.uint8)
+    up = decode_png(resize_png(encode_png(flat), width=5, height=3))
+    assert up.shape == (3, 5, 1) and np.all(up == 77)
+
+    rows = [
+        (1, encode_png(px)),
+        (2, b"\xff\xd8\xff\xe0jpegdata" * 10),  # jpeg → stub thumbnail
+        (3, b"\x89PNGbroken"),                   # corrupt → resize_error
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r["doc_id"]: r for r in mm.resize_images(df, width=3, height=4).collect()}
+    thumb = bytes(got[1]["thumb"])
+    assert png_info(thumb)[:2] == (3, 4)  # real PNG out, right dims
+    assert np.array_equal(decode_png(thumb), out)
+    assert got[2]["thumb"] is not None and got[2]["resize_error"] is None
+    assert len(bytes(got[2]["thumb"])) <= 3 * 4  # stub contract
+    assert got[3]["thumb"] is None and got[3]["resize_error"]
+
+
 # --- streaming faces ---
 
 
@@ -572,12 +611,14 @@ def test_multimodal_resize_and_frames(spark):
     )
     out = {r["doc_id"]: r for r in mm.resize_images(df, 8, 8).collect()}
     assert out[1]["mime"] == "image/png"
-    assert out[1]["n_bytes_out"] == 64 and len(out[1]["thumb"]) == 64
+    # sniffs as PNG but is not decodable → the REAL default png resize
+    # soft-fails it (the sha-stub only covers mimes with no decoder)
+    assert out[1]["thumb"] is None and out[1]["resize_error"]
     assert out[2]["n_bytes_out"] == 4  # shorter payloads shrink
     assert out[3]["thumb"] is None and out[3]["resize_error"]  # empty fails soft
     # deterministic: same payload → same thumb
     again = {r["doc_id"]: r for r in mm.resize_images(df, 8, 8).collect()}
-    assert bytes(again[1]["thumb"]) == bytes(out[1]["thumb"])
+    assert bytes(again[2]["thumb"]) == bytes(out[2]["thumb"])
 
     frames = mm.sample_frames(df, every_n=2).collect()
     by_doc = {}
@@ -594,7 +635,9 @@ def test_multimodal_resize_and_frames(spark):
         out2 = {r["doc_id"]: r for r in mm.resize_images(df, 8, 8).collect()}
         assert bytes(out2[1]["thumb"]) == b"REAL"
     finally:
-        mm._TRANSFORMS.clear()
+        # pop only the unscoped entry — the built-in mime-scoped PNG
+        # default must survive for other tests/sessions
+        mm._TRANSFORMS.pop("resize", None)
 
 
 def test_ann_ivf_vs_bruteforce(spark):
