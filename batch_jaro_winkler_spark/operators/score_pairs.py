@@ -145,17 +145,17 @@ def score_topk(
     guarded by ``max_probes`` (error, not silent collect-the-world).  A
     probe set too large to broadcast is a pair-scoring problem: route it
     through :func:`verify_pairs` on LSH candidates instead."""
-    n_probes = probes.count()
-    if n_probes > max_probes:
+    # one job: the guard reads at most max_probes+1 rows of the same
+    # collect the happy path needs anyway (no separate count over the
+    # probe lineage)
+    rows = probes.select(probe_id, probe_text).limit(max_probes + 1).collect()
+    if len(rows) > max_probes:
         raise ValueError(
-            f"score_topk probe set has {n_probes} rows (> max_probes="
-            f"{max_probes}); collecting it to the driver would not scale — "
-            "use verify_pairs over LSH candidate pairs for large probe sets"
+            f"score_topk probe set exceeds max_probes={max_probes}; "
+            "collecting it to the driver would not scale — use "
+            "verify_pairs over LSH candidate pairs for large probe sets"
         )
-    probe_rows = [
-        (r[0], r[1])
-        for r in probes.select(probe_id, probe_text).collect()
-    ]
+    probe_rows = [(r[0], r[1]) for r in rows]
     # compile-once-query-many wants LARGE candidate batches: coalesce the
     # partition's Arrow batches before building the shared model, so each
     # partition compiles ~one model regardless of arrow batch sizing
