@@ -761,6 +761,23 @@ def _pipeline_simhash_pairs_exact(spark, sf_dir):
     ).select("a", "b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def _pipeline_clusters_star(spark, sf_dir):
+    """The DISTRIBUTED connected-components star path, driver-graded:
+    large-star/small-star rounds + checksum fixpoint run end-to-end
+    (local_threshold=0 keeps the union-find endgame out) over the planted
+    clique pairs.  Cliques are exactly the components, so the assignment
+    must equal min(doc_id) per equal-normalized-text class — a plain
+    window aggregate in DuckDB.  Scale note: this IS the 100 TB code
+    path; the endgame threshold only short-circuits small remainders."""
+    from batch_jaro_winkler_spark.operators.connected_components import (
+        connected_components,
+    )
+
+    pairs = _pipeline_lsh_pairs_exact(spark, sf_dir).select("a", "b")
+    nodes = _pg_docs(spark, sf_dir).select("doc_id")
+    return connected_components(pairs, all_nodes=nodes, local_threshold=0)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational operator coverage (SURVEY.md §2.2)
@@ -805,6 +822,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_simhash_pairs": _pipeline_simhash_pairs,
         "pipeline_lsh_pairs_exact": _pipeline_lsh_pairs_exact,
         "pipeline_simhash_pairs_exact": _pipeline_simhash_pairs_exact,
+        "pipeline_clusters_star": _pipeline_clusters_star,
     }
 
 
@@ -969,6 +987,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS a, b.doc_id AS b, 0::BIGINT AS hamming
             FROM nrm a JOIN nrm b ON a.nrm = b.nrm AND a.doc_id < b.doc_id
             WHERE a.nrm <> ''
+        """,
+        "pipeline_clusters_star": f"""
+            WITH {_pg_docs_sql()},
+            nrm AS (
+              SELECT doc_id, {TX.normalize_sql('text')} AS nrm FROM pg_docs
+            )
+            SELECT doc_id,
+                   CASE WHEN nrm = '' THEN doc_id
+                        ELSE min(doc_id) OVER (PARTITION BY nrm) END AS cluster_id
+            FROM nrm
         """,
         "dedup_substring_exact": _substring_oracle_sql(),
         "dedup_substring_parts": _substring_oracle_sql(),
