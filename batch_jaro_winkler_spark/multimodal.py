@@ -288,20 +288,33 @@ def sample_frames(
     near-dup hashing of thumbnails) see plain rows; partitioning stays
     inherited — repartition downstream if per-frame work is heavy."""
     metad = df.select(
-        F.col(id_col).alias("doc_id"), F.col(payload_col).alias("payload")
+        F.col(id_col).alias("doc_id"),
+        F.col(payload_col).alias("payload"),
+        sniff_mime(F.col(payload_col)).alias("mime"),
     )
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        fn = _TRANSFORMS.get("frame_iter", _stub_frame_iter)
         for pdf in batches:
             ids, nos, frames = [], [], []
-            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            for doc_id, payload, mime in zip(
+                pdf["doc_id"], pdf["payload"], pdf["mime"]
+            ):
                 if not payload:
                     continue
-                for frame_no, frame in fn(bytes(payload), every_n):
-                    ids.append(doc_id)
-                    nos.append(frame_no)
-                    frames.append(frame)
+                # unscoped user registration overrides scoped defaults;
+                # _TRANSFORMS referenced directly (cloudpickle by-value)
+                fn = _TRANSFORMS.get("frame_iter") or _TRANSFORMS.get(
+                    ("frame_iter", mime), _stub_frame_iter
+                )
+                try:
+                    for frame_no, frame in fn(bytes(payload), every_n):
+                        ids.append(doc_id)
+                        nos.append(frame_no)
+                        frames.append(frame)
+                except ValueError:
+                    # malformed container: no frames, same soft behavior
+                    # as an empty payload
+                    continue
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_no": nos, "frame": frames}
             )
@@ -312,8 +325,16 @@ def sample_frames(
 
 
 # PNG gets a REAL default resize (pure-python decoder + box-average +
-# re-encode, functions/png.py) — the sha-stub remains only for mimes with
-# no in-sandbox decoder (jpeg/audio/video), still swappable per mime.
+# re-encode, functions/png.py), and GIF/WAV get REAL frame demuxers
+# (container block-structure parsing, functions/containers.py — no codec
+# needed to locate frame boundaries).  The sha-stubs remain only for
+# mimes with no in-sandbox parser (jpeg/mpeg/webm), still swappable.
+from batch_jaro_winkler_spark.functions.containers import (
+    gif_frames as _gif_frames,
+    wav_frames as _wav_frames,
+)
 from batch_jaro_winkler_spark.functions.png import resize_png as _png_resize
 
 register_transform("resize", _png_resize, mime="image/png")
+register_transform("frame_iter", _gif_frames, mime="image/gif")
+register_transform("frame_iter", _wav_frames, mime="audio/wav-or-avi")

@@ -1,0 +1,93 @@
+"""Real container demuxers (functions/containers.py): GIF block-structure
+and RIFF/WAVE chunk parsing — frame sampling without any codec, the last
+declared frame-iter stubs retired for these mimes."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from batch_jaro_winkler_spark.functions.containers import gif_frames, wav_frames
+
+
+def make_gif(n_frames: int, with_gct: bool = True, with_ext: bool = True) -> bytes:
+    out = b"GIF89a" + struct.pack("<HH", 4, 3)
+    if with_gct:
+        out += bytes([0x80 | 0x01, 0, 0])  # GCT flag, 2^(1+1)=4 entries
+        out += b"\x00" * (3 * 4)
+    else:
+        out += bytes([0, 0, 0])
+    for i in range(n_frames):
+        if with_ext:  # graphics-control extension before each frame
+            out += b"\x21\xf9\x04" + bytes([0, 5, 0, 0]) + b"\x00"
+        out += b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 3) + bytes([0])
+        out += bytes([2])  # LZW min code size
+        body = bytes([i]) * 5
+        out += bytes([len(body)]) + body + b"\x00"  # one sub-block + term
+    return out + b"\x3b"
+
+
+def make_wav(n_bytes: int, byte_rate: int = 8000) -> bytes:
+    fmt = struct.pack("<HHIIHH", 1, 1, byte_rate, byte_rate, 1, 8)
+    data = bytes(range(256)) * (n_bytes // 256 + 1)
+    data = data[:n_bytes]
+    body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    body += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def test_gif_demux_frames_and_sampling():
+    gif = make_gif(5)
+    frames = list(gif_frames(gif, every_n=1))
+    assert [i for i, _ in frames] == [0, 1, 2, 3, 4]
+    for i, fb in frames:
+        assert fb[0] == 0x2C  # raw image-descriptor block
+        assert bytes([i]) * 5 in fb  # this frame's own data travels with it
+    sampled = list(gif_frames(gif, every_n=2))
+    assert [i for i, _ in sampled] == [0, 2, 4]
+    # each frame is a verbatim byte range of the original stream
+    assert all(fb in gif for _, fb in frames)
+    # no global color table / no extensions variants parse too
+    assert len(list(gif_frames(make_gif(2, with_gct=False, with_ext=False), 1))) == 2
+
+
+def test_gif_demux_rejects_malformed():
+    with pytest.raises(ValueError):
+        list(gif_frames(b"NOTAGIF", 1))
+    with pytest.raises(ValueError):
+        list(gif_frames(make_gif(2)[:-5], 1))  # truncated
+
+
+def test_wav_demux_one_second_frames():
+    wav = make_wav(20_000, byte_rate=8000)
+    frames = list(wav_frames(wav, every_n=1))
+    assert [(i, len(b)) for i, b in frames] == [(0, 8000), (1, 8000), (2, 4000)]
+    sampled = list(wav_frames(wav, every_n=2))
+    assert [i for i, _ in sampled] == [0, 2]
+    with pytest.raises(ValueError):
+        list(wav_frames(b"RIFF\x00\x00\x00\x00AVI LIST", 1))  # not WAVE
+
+
+def test_sample_frames_dispatches_by_mime(spark):
+    """GIF/WAV payloads demux for real by default; other payloads keep the
+    4KiB stub; corrupt containers soft-skip (no rows, job survives)."""
+    from batch_jaro_winkler_spark import multimodal as mm
+
+    gif = make_gif(6)
+    wav = make_wav(20_000)
+    rows = [
+        (1, gif),
+        (2, wav),
+        (3, b"plain text payload " * 500),   # stub: 4KiB pseudo-frames
+        (4, b"GIF89a" + b"\xff" * 30),        # corrupt gif → no rows
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = {}
+    for r in mm.sample_frames(df, every_n=2).collect():
+        out.setdefault(r["doc_id"], []).append((r["frame_no"], bytes(r["frame"])))
+    assert [i for i, _ in sorted(out[1])] == [0, 2, 4]
+    assert all(fb[0] == 0x2C for _, fb in out[1])
+    assert [(i, len(b)) for i, b in sorted(out[2])] == [(0, 8000), (2, 4000)]
+    assert [i for i, _ in sorted(out[3])] == [0, 2]  # stub frames 0 and 2
+    assert 4 not in out
