@@ -761,6 +761,46 @@ def _pipeline_simhash_pairs_exact(spark, sf_dir):
     ).select("a", "b", F.col("hamming").cast("long").alias("hamming"))
 
 
+def _mm_frame_samples_gif(spark, sf_dir):
+    """The REAL GIF demuxer (functions/containers.py) driver-graded:
+    deterministic synthetic GIFs (doc_id % 5 + 1 frames, fixed-shape
+    image-descriptor blocks of 18 bytes) built per doc, demuxed through
+    sample_frames(every_n=2).  Frame numbers and lengths are pure
+    arithmetic in doc_id, so DuckDB computes the expected relation with
+    generate_series — no stub involved: the image/gif mime routes to the
+    block-structure parser."""
+    import struct
+
+    import pandas as pd
+
+    from batch_jaro_winkler_spark.multimodal import sample_frames
+
+    def make_gif(n_frames: int) -> bytes:
+        out = b"GIF89a" + struct.pack("<HH", 4, 3) + bytes([0, 0, 0])
+        for i in range(n_frames):
+            out += b"\x2c" + struct.pack("<HHHH", 0, 0, 4, 3) + bytes([0])
+            out += bytes([2, 5]) + bytes([i]) * 5 + b"\x00"
+        return out + b"\x3b"
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+
+    def build(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [make_gif(int(d) % 5 + 1) for d in pdf["doc_id"]],
+                }
+            )
+
+    gifs = docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")
+    return sample_frames(gifs, every_n=2).select(
+        "doc_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.length("frame").cast("long").alias("frame_len"),
+    )
+
+
 def _pipeline_clusters_star(spark, sf_dir):
     """The DISTRIBUTED connected-components star path, driver-graded:
     large-star/small-star rounds + checksum fixpoint run end-to-end
@@ -823,6 +863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_lsh_pairs_exact": _pipeline_lsh_pairs_exact,
         "pipeline_simhash_pairs_exact": _pipeline_simhash_pairs_exact,
         "pipeline_clusters_star": _pipeline_clusters_star,
+        "mm_frame_samples_gif": _mm_frame_samples_gif,
     }
 
 
@@ -987,6 +1028,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT a.doc_id AS a, b.doc_id AS b, 0::BIGINT AS hamming
             FROM nrm a JOIN nrm b ON a.nrm = b.nrm AND a.doc_id < b.doc_id
             WHERE a.nrm <> ''
+        """,
+        "mm_frame_samples_gif": """
+            SELECT d.doc_id,
+                   t.frame_no::BIGINT AS frame_no,
+                   18::BIGINT AS frame_len
+            FROM (SELECT doc_id, doc_id % 5 + 1 AS nf
+                  FROM documents WHERE doc_id < 50) d,
+                 UNNEST(generate_series(0, 4, 2)) AS t(frame_no)
+            WHERE t.frame_no < d.nf
         """,
         "pipeline_clusters_star": f"""
             WITH {_pg_docs_sql()},
