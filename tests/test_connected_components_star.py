@@ -100,6 +100,25 @@ def test_star_path_empty_edges(spark):
     assert got == {i: i for i in range(5)}
 
 
+def test_cc_local_endgame_plan_is_one_narrow_map(spark):
+    """Round-4 plan gate: the local endgame's assignment must be a single
+    narrow mapInPandas over all_nodes (union-find result rides along as a
+    broadcast VARIABLE) — no driver-built DataFrame union, no
+    broadcast-hash anti-join, no shuffle introduced by the operator."""
+    from batch_jaro_winkler_spark.plans import explain_formatted, plan_markers
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(0, 2000, 2)], "a long, b long"
+    )
+    nodes = spark.range(0, 5000).select(F.col("id").alias("doc_id"))
+    out = connected_components(edges, all_nodes=nodes)
+    m = plan_markers(out)
+    assert m["MapInPandas"] > 0  # formatted explain lists tree + details
+    assert m["BroadcastHashJoin"] == 0 and m["SortMergeJoin"] == 0
+    assert m["Exchange"] == 0  # write parallelism inherits all_nodes'
+    assert "Union" not in explain_formatted(out)
+
+
 def test_pipeline_recall_through_distributed_cc(spark, tmp_path_factory, monkeypatch):
     """Full dedup pipeline with CC forced through the star rounds: recall
     and total assignment must match the default (endgame) run exactly."""
