@@ -643,11 +643,21 @@ def _mm_resize_thumbs(spark, sf_dir):
 def _mm_frame_samples(spark, sf_dir):
     """Video frame-sampling plumbing (stub 4KiB-frame demuxer, real
     variable-fan-out explode inside mapInPandas): every 3rd frame's
-    (number, byte length) — chunk arithmetic the oracle reproduces."""
+    (number, byte length) — chunk arithmetic the oracle reproduces.
+
+    Payloads are prefixed with '~' (0x7E, matches no MAGIC_BYTES entry) so
+    a corpus doc whose text happens to open with ASCII 'GIF8'/'RIFF' can
+    never route to the real demuxers and break the stub oracle (ADVICE r4).
+    The decode/resize stub queries don't need this: their only real
+    handlers are image/png-scoped, and the PNG magic (0x89...) is not a
+    valid UTF-8 lead byte, so utf-8 text payloads can never sniff as png."""
     from batch_jaro_winkler_spark.multimodal import sample_frames
 
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
-    payloads = docs.select("doc_id", F.encode(F.col("text"), "utf-8").alias("payload"))
+    payloads = docs.select(
+        "doc_id",
+        F.encode(F.concat(F.lit("~"), F.col("text")), "utf-8").alias("payload"),
+    )
     frames = sample_frames(payloads, every_n=3)
     return frames.select(
         "doc_id", "frame_no", F.length("frame").alias("frame_len")
@@ -842,6 +852,50 @@ def _mm_frame_samples_wav(spark, sf_dir):
     )
 
 
+def _mm_jpeg_meta(spark, sf_dir):
+    """The REAL JPEG structure parser (functions/jpeg.py) driver-graded:
+    deterministic synthetic baseline JFIFs (width/height/entropy bytes
+    are arithmetic in doc_id) built per doc, routed through
+    decode_features' sniffed-mime dispatch to the BUILTIN image/jpeg
+    decoder — no stub involved.  The parsed dimensions, component count,
+    precision and entropy-byte count land as columns whose expected
+    values DuckDB computes directly from doc_id."""
+    import pandas as pd
+
+    from batch_jaro_winkler_spark.functions.jpeg import encode_jpeg_gray
+    from batch_jaro_winkler_spark.multimodal import decode_features
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+
+    def build(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [
+                        encode_jpeg_gray(
+                            int(d) % 37 + 4,
+                            int(d) % 23 + 3,
+                            entropy_bytes=(int(d) % 7) * 16 + 16,
+                        )
+                        for d in pdf["doc_id"]
+                    ],
+                }
+            )
+
+    jpegs = docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")
+    feats = decode_features(jpegs)
+    return feats.select(
+        "doc_id",
+        "mime",
+        F.col("features").getItem(0).cast("long").alias("width"),
+        F.col("features").getItem(1).cast("long").alias("height"),
+        F.col("features").getItem(2).cast("long").alias("n_components"),
+        F.col("features").getItem(3).cast("long").alias("precision"),
+        F.col("features").getItem(8).cast("long").alias("entropy_bytes"),
+    )
+
+
 def _pipeline_clusters_star(spark, sf_dir):
     """The DISTRIBUTED connected-components star path, driver-graded:
     large-star/small-star rounds + checksum fixpoint run end-to-end
@@ -906,6 +960,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clusters_star": _pipeline_clusters_star,
         "mm_frame_samples_gif": _mm_frame_samples_gif,
         "mm_frame_samples_wav": _mm_frame_samples_wav,
+        "mm_jpeg_meta": _mm_jpeg_meta,
     }
 
 
@@ -1090,6 +1145,16 @@ def oracle_sql() -> dict[str, str]:
                  UNNEST(generate_series(0, 4, 2)) AS t(frame_no)
             WHERE t.frame_no < d.nf
         """,
+        "mm_jpeg_meta": """
+            SELECT doc_id,
+                   'image/jpeg' AS mime,
+                   (doc_id % 37 + 4)::BIGINT AS width,
+                   (doc_id % 23 + 3)::BIGINT AS height,
+                   1::BIGINT AS n_components,
+                   8::BIGINT AS precision,
+                   ((doc_id % 7) * 16 + 16)::BIGINT AS entropy_bytes
+            FROM documents WHERE doc_id < 50
+        """,
         "pipeline_clusters_star": f"""
             WITH {_pg_docs_sql()},
             nrm AS (
@@ -1249,9 +1314,10 @@ def oracle_sql() -> dict[str, str]:
                    least(4096, L - u.i * 4096) AS frame_len
             FROM (
               -- L > 0: sample_frames skips empty payloads entirely
-              -- (multimodal.py run(): `if not payload: continue`)
-              SELECT doc_id, octet_length(encode(text)) AS L
-              FROM documents WHERE doc_id < 50 AND octet_length(encode(text)) > 0
+              -- (multimodal.py run(): `if not payload: continue`).
+              -- '~' prefix mirrors the Spark query's non-magic guard byte.
+              SELECT doc_id, octet_length(encode('~' || text)) AS L
+              FROM documents WHERE doc_id < 50
             ), UNNEST(range(0, greatest(cast(ceil(L / 4096.0) AS INT), 1), 3)) AS u(i)
         """,
         # consistency oracles (VERDICT_r2 #5): the *_exact variants run the

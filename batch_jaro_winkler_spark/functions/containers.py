@@ -94,7 +94,7 @@ def wav_frames(payload: bytes, every_n: int):
         (size,) = struct.unpack("<I", data[pos + 4 : pos + 8])
         body = data[pos + 8 : pos + 8 + size]
         if fourcc == b"fmt ":
-            if size < 16:
+            if size < 16 or len(body) < 16:
                 raise ValueError("WAV: short fmt chunk")
             byte_rate = struct.unpack("<I", body[8:12])[0]
             if byte_rate <= 0:

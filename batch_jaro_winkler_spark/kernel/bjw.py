@@ -217,7 +217,10 @@ class CandidateModel:
             d[f] = None
         d["b_maxp"] = 0
         d["b2_maxp"] = 0
-        d.pop("_len_f32", None)  # query-time cache, not a dataclass field
+        # query-time caches, not dataclass fields
+        d.pop("_len_f32", None)
+        d.pop("_len_safe", None)
+        d.pop("_scratch", None)
         return d
 
 
@@ -1096,6 +1099,81 @@ def _transpositions_for(
     return out
 
 
+def _transpositions_batch(
+    model: CandidateModel,
+    in_codes_all: np.ndarray,
+    input_len: int,
+    cand_ids: np.ndarray,
+) -> np.ndarray:
+    """Vectorized exact transpositions for an ARBITRARY candidate subset:
+    the scalar greedy walk of :func:`_transpositions_for`, run as
+    ``input_len`` lock-step vector iterations over the concatenated code
+    slices of the batch (the same cursor semantics — an occurrence below
+    the rising window floor can never match later, so "first unconsumed
+    occurrence >= i - r" IS the resume-cursor match).  ~10-30x the scalar
+    walk on the contender batches the n_best ladder visits; equality with
+    the scalar walk is pinned by the behavior/property suites."""
+    B = len(cand_ids)
+    out = np.zeros(B, dtype=np.int64)
+    if not B or not input_len:
+        return out
+    offsets, codes, lengths = model.offsets, model.codes, model.lengths
+    L = lengths[cand_ids].astype(np.int64, copy=False)
+    R = int(L.sum())
+    if not R:
+        return out
+    starts = offsets[cand_ids].astype(np.int64, copy=False)
+    cumL = np.zeros(B, dtype=np.int64)
+    np.cumsum(L[:-1], out=cumL[1:])
+    base = np.arange(R, dtype=np.int64)
+    codes_cat = codes.take(base + np.repeat(starts - cumL, L))
+    seg = np.repeat(np.arange(B, dtype=np.int32), L)
+    pos = (base - np.repeat(cumL, L)).astype(np.int32)
+    r_half = np.maximum(L, input_len) >> 1
+    rr = np.repeat(
+        np.maximum(r_half - 1, 0).astype(np.int32), L
+    )  # "0 if r <= 1 else r - 1" == max(r - 1, 0)
+    live = np.ones(R, dtype=bool)
+    a_seg: list[np.ndarray] = []
+    a_ch: list[np.ndarray] = []
+    b_pos: list[np.ndarray] = []
+    for i in range(input_len):
+        ch = in_codes_all[i]
+        ii = np.int32(i)
+        avail = codes_cat == ch
+        avail &= live
+        avail &= pos >= ii - rr
+        avail &= pos <= ii + rr
+        sel = np.flatnonzero(avail)
+        if not len(sel):
+            continue
+        segs = seg.take(sel)
+        # records are candidate-grouped and pos-ascending, so the first
+        # available occurrence per candidate is each segment-run head
+        fm = np.empty(len(segs), dtype=bool)
+        fm[0] = True
+        np.not_equal(segs[1:], segs[:-1], out=fm[1:])
+        firsts = sel[fm]
+        live[firsts] = False
+        a_seg.append(segs[fm])
+        a_ch.append(codes_cat.take(firsts))
+        b_pos.append(pos.take(firsts))
+    if not a_seg:
+        return out
+    ms = np.concatenate(a_seg) if len(a_seg) > 1 else a_seg[0]
+    mch = np.concatenate(a_ch) if len(a_ch) > 1 else a_ch[0]
+    mpos = np.concatenate(b_pos) if len(b_pos) > 1 else b_pos[0]
+    # a-order = input order: records were appended i-ascending, so a
+    # stable seg sort recovers each candidate's input-order sequence;
+    # b-order sorts by (seg, candidate position)
+    oa = np.argsort(ms, kind="stable")
+    ob = np.lexsort((mpos, ms))
+    diff = mch[oa] != mch[ob]
+    if diff.any():
+        out = np.bincount(ms[oa][diff], minlength=B) >> 1
+    return out
+
+
 # dense-rank transposition path: total scratch elements (n * (Li + Lc))
 # above this cap fall back to the packed-key argsort path
 _T_DENSE_CAP = 64_000_000
@@ -1118,6 +1196,7 @@ def _t_from_matches(
     max_cand_len: int = 0,
     lengths: np.ndarray | None = None,
     required: np.ndarray | None = None,
+    scratch: dict | None = None,
 ):
     """Transpositions (O11) from detail matches.
 
@@ -1137,8 +1216,21 @@ def _t_from_matches(
     for free from the input-rank grid's final cumsum row (counts <= Li
     fit the uint8 cells) instead of a separate 1M+-record bincount, and
     ``(t, m, matched)`` is returned (``required`` must be given).
+
+    ``scratch`` (a per-model dict) recycles the multi-MB per-query
+    temporaries: fresh np.zeros/np.empty at these sizes mmap new pages
+    and the first-touch page faults cost more than the arithmetic.
     """
     derive_m = m is None
+
+    def _buf(key, size, dt):
+        if scratch is None:
+            return np.empty(size, dtype=dt)
+        b = scratch.get(key)
+        if b is None or b.size < size or b.dtype != dt:
+            b = np.empty(max(size, 1), dtype=dt)
+            scratch[key] = b
+        return b[:size]
     t = np.zeros(n, dtype=np.int64)
     mc, mi, mp, mch = matches
     if not len(mc):
@@ -1172,15 +1264,20 @@ def _t_from_matches(
         # rank within candidate by input position: scatter into a
         # transposed (Li, n) bitmap (rows contiguous → axis-0 cumsum is
         # Li linear passes), cumsum in place, gather back at the match
-        mt = np.zeros((Li, n), dtype=np.uint8)
-        fa = mi2.astype(np.int32, copy=False) * np.int32(n) + mc2
+        mt = _buf("mt", Li * n, np.uint8).reshape(Li, n)
+        mt.reshape(-1).fill(0)
+        fa = _buf("fidx_a", len(mc2), np.int32)
+        np.multiply(mi2.astype(np.int32, copy=False), np.int32(n), out=fa)
+        fa += mc2
         mt.reshape(-1)[fa] = 1
         _cumsum_rows(mt)
         rank_a = mt.reshape(-1).take(fa)
         if derive_m:
             m = mt[Li - 1].astype(np.int64)
             matched = (m >= required) & (m > 0)
-        fb = mp2.astype(np.int32, copy=False) * np.int32(n) + mc2
+        fb = _buf("fidx_b", len(mc2), np.int32)
+        np.multiply(mp2.astype(np.int32, copy=False), np.int32(n), out=fb)
+        fb += mc2
         if lengths is not None and n == len(lengths):
             # row i of the cand-rank bitmap only has live columns where
             # len > i, and ids are length ranks — live columns are a
@@ -1189,7 +1286,7 @@ def _t_from_matches(
             offs = np.searchsorted(
                 lengths, np.arange(1, Lc + 1, dtype=np.int64), side="left"
             )
-            nt = np.empty((Lc, n), dtype=np.uint8)
+            nt = _buf("nt", Lc * n, np.uint8).reshape(Lc, n)
             for j in range(Lc):
                 nt[j, offs[j]:] = 0
             nt.reshape(-1)[fb] = 1
@@ -1197,7 +1294,8 @@ def _t_from_matches(
                 o = offs[j]
                 np.add(nt[j, o:], nt[j - 1, o:], out=nt[j, o:])
         else:
-            nt = np.zeros((Lc, n), dtype=np.uint8)
+            nt = _buf("nt", Lc * n, np.uint8).reshape(Lc, n)
+            nt.reshape(-1).fill(0)
             nt.reshape(-1)[fb] = 1
             _cumsum_rows(nt)
         rank_b = nt.reshape(-1).take(fb)
@@ -1215,7 +1313,10 @@ def _t_from_matches(
         if len(s):
             mcs = mc2.take(s)
             chs = ch2.take(s).astype(np.uint8, copy=False)
-            a_chars = np.zeros(n * Li, dtype=np.uint8)
+            # uninitialized is safe: every gathered cell is written (see
+            # the rank-uniqueness argument above), and calloc'd pages
+            # would cost a page-fault pass per query
+            a_chars = _buf("ach", n * Li, np.uint8)
             base = mcs * np.int32(Li)
             a_chars[base + rank_a.take(s).astype(np.int32) - np.int32(1)] = chs
             other = a_chars.take(
@@ -1294,6 +1395,53 @@ def _finalize_scores(
     return idx, sc
 
 
+def _finalize_full(
+    model: CandidateModel,
+    m: np.ndarray,
+    t: np.ndarray,
+    in_codes_all: np.ndarray,
+    input_len: int,
+    w: float,
+    thr: float,
+    dtype,
+) -> np.ndarray:
+    """Full-emission finalize (min_score <= 0 with a full length band and a
+    zero required bound): EVERY candidate is emitted, so scores are
+    computed as whole-n array passes — no survivor index, no gathers, no
+    zero-match merge.  m == 0 rows fall out at exactly 0.0 for free:
+    0/Li + 0/len + (0-0)/max(m,1) = 0, matching the reference's zero-match
+    emission (runtime.h:429-438).  The per-term addition order matches
+    :func:`_finalize_scores` so float32 rounding is bit-identical."""
+    lengths = model.lengths
+    n = len(lengths)
+    if getattr(model, "_len_safe", None) is None or model._len_safe.dtype != dtype:
+        # max(len, 1): only len == 0 rows change, and those always have
+        # m == 0 -> numerator 0, so the clamp never alters a real score
+        # (it just keeps the m == 0 lane NaN-free)
+        model._len_safe = np.maximum(lengths, 1).astype(dtype)
+    fl = model._len_safe
+    fm = m.astype(dtype)
+    ft = t.astype(dtype)
+    m_safe = np.maximum(fm, dtype(1.0))
+    # empty input: m == 0 everywhere, the max(1) clamp only avoids 0/0
+    sc = fm / dtype(max(input_len, 1))
+    sc += fm / fl
+    sc += (fm - ft) / m_safe
+    sc /= dtype(3.0)
+    if w >= 0.0:
+        boost = sc >= dtype(thr)
+        boost &= m > 0  # zero-match rows emit literal 0.0, never boosted
+        if boost.any():
+            plen = np.minimum(np.minimum(lengths, input_len), 4)
+            in4 = np.zeros(4, dtype=np.uint32)
+            in4[: min(4, input_len)] = in_codes_all[:4]
+            eq = model.first4 == in4[None, :]
+            run = np.cumprod(eq, axis=1)
+            pl = np.minimum(run.sum(axis=1), plen).astype(dtype)
+            sc = np.where(boost, sc + pl * dtype(w) * (dtype(1.0) - sc), sc)
+    return sc
+
+
 def _emit_zero_matches(idx, sc, m, required, eff_min, dtype):
     """Zero-match emission (runtime.h:429-438): m == 0 candidates whose
     effective min_score is <= 0 are emitted with score 0.0."""
@@ -1333,10 +1481,12 @@ _COUNTS_MODE_FLOOR = 0.7
 # (pipeline verify_pairs: ~200-char near-dups where most candidates
 # survive) are 2-3x faster on the vectorized detail path
 _COUNTS_MODE_MAX_LEN = 64
-# survivor budget for the scalar transposition walk, in char-ops
+# survivor budget for the per-survivor transposition walk, in char-ops
 # (survivors × (input_len + cand_len)): above it, fall back to a
-# detail-mode scan (vectorized lexsort transpositions)
-_PAIR_T_BUDGET = 50_000
+# detail-mode scan (vectorized dense-rank transpositions).  Sized for the
+# VECTORIZED batch walk (_transpositions_batch, ~20x the retired scalar
+# budget of 50k): at 400k char-ops the batch walk still runs in ~1-2 ms
+_PAIR_T_BUDGET = 400_000
 # ... and only for models large enough that detail-mode match
 # materialization is the bottleneck: on tiny candidate batches (the
 # pairwise-oracle shape, ~100 cands) the per-survivor scalar walk plus
@@ -1397,16 +1547,17 @@ def _topk_from_counts(
                     spill = -1.0
                 order = np.lexsort((ub_idx[cand], -ub_sc[cand]))
                 sel = cand[order]
-                in_list = in_codes_all.tolist()
                 kth = None
                 pos = 0
                 got_idx, got_sc = [], []
-                chunk = max(k, 64)
+                chunk = max(k, 256)
                 while pos < len(sel):
                     if kth is not None and float(ub_sc[sel[pos]]) < kth:
                         break
                     part_ids = ub_idx[sel[pos : pos + chunk]]
-                    t_part = _transpositions_for(model, in_list, input_len, part_ids)
+                    t_part = _transpositions_batch(
+                        model, in_codes_all, input_len, part_ids
+                    )
                     e_idx, e_sc = _finalize_scores(
                         model, m, part_ids, t_part,
                         in_codes_all, input_len, eff_min, w, thr, dtype,
@@ -1474,9 +1625,7 @@ def _score_pass(
         idx = lo + np.flatnonzero((m_band >= req_band) & (m_band > 0))
         scalar_ops = len(idx) * input_len + int(model.lengths[idx].sum())
         if scalar_ops <= _PAIR_T_BUDGET:
-            t_idx = _transpositions_for(
-                model, in_codes_all.tolist(), input_len, idx
-            )
+            t_idx = _transpositions_batch(model, in_codes_all, input_len, idx)
             return _finalize_scores(
                 model, m, idx, t_idx, in_codes_all, input_len, eff_min, w, thr, dtype
             )
@@ -1487,7 +1636,20 @@ def _score_pass(
     t, m, matched = _t_from_matches(
         matches, None, None, n, input_len, max_cl, model.lengths,
         required=required,
+        scratch=model.__dict__.setdefault("_scratch", {}),
     )
+    if (
+        lo == 0
+        and hi == n
+        and (not len(eff_min) or float(eff_min.max()) <= 0.0)
+        and (not len(required) or int(required.max()) <= 0)
+    ):
+        # full emission: every candidate appears (m > 0 scored, m == 0 at
+        # 0.0) — whole-n array finalize, no survivor extraction or merge
+        sc = _finalize_full(
+            model, m, t, in_codes_all, input_len, w, thr, dtype
+        )
+        return np.arange(n, dtype=np.int64), sc
     idx = np.flatnonzero(matched)
     idx2, sc = _finalize_scores(
         model, m, idx, t[idx], in_codes_all, input_len, eff_min, w, thr, dtype
@@ -1561,9 +1723,15 @@ def score(
         idx, sc = _score_pass(model, in_codes_all, input_len, eff_base, w, thr, dtype)
     else:
         k = min(n_best, n)
-        # reference ladder (c:788-816): base value -1 when min_score unset
+        # reference ladder (c:788-816): base value -1 when min_score unset.
+        # The reference caps the optimistic rung at 0.8; we cap at 0.7 —
+        # measured on the word-list bench, the 0.8 rung fails for >half
+        # the queries (k-th best below 0.8 is common) and each retry
+        # re-pays the scan's fixed per-rung cost, while a 0.7 first rung
+        # resolves ~everything in one scan (+30% end-to-end).  Observable
+        # results are identical: every rung is exact and `enough`-gated.
         base_val = -1.0 if min_score is None else float(min_score)
-        t0 = min(1.0 - k / n, 0.8)
+        t0 = min(1.0 - k / n, 0.7)
         t1 = t0 - 0.2
         tries = [t for t in (t0, t1) if t > base_val]
         tries.append(base_val)
@@ -1612,7 +1780,10 @@ def score(
                 matched = (m >= required) & (m > 0)
                 idx0 = np.flatnonzero(matched)
                 max_cl = int(model.lengths[cov[1] - 1]) if cov[1] > cov[0] else 0
-                t = _t_from_matches(matches, m, matched, n, input_len, max_cl, model.lengths)
+                t = _t_from_matches(
+                    matches, m, matched, n, input_len, max_cl, model.lengths,
+                    scratch=model.__dict__.setdefault("_scratch", {}),
+                )
                 idx, sc = _finalize_scores(
                     model, m, idx0, t[idx0], in_codes_all, input_len,
                     eff, w, thr, dtype,
@@ -1622,6 +1793,12 @@ def score(
                     break
     # map internal length-rank ids back to the caller's candidate order
     if model.orig_ids is not None and len(idx):
+        if n_best is None and len(idx) == n:
+            # full emission: idx is every internal id ascending, so the
+            # remap is ONE permutation scatter (no take/flatnonzero pass)
+            sc_all = np.empty(n, dtype=sc.dtype)
+            sc_all[model.orig_ids] = sc
+            return np.arange(n, dtype=np.int64), sc_all
         idx = model.orig_ids[idx]
         if n_best is None:
             if len(idx) > (n >> 3):

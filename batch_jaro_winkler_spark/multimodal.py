@@ -99,8 +99,12 @@ def binary_meta(
     )
 
 
-# decoder registry: mime → fn(list[bytes]) -> np.ndarray[(n, dim) float32]
+# decoder registry: mime → fn(list[bytes]) -> np.ndarray[(n, dim) float32].
+# User registrations (_DECODERS, clearable) shadow engine builtins
+# (_DEFAULT_DECODERS, populated at import below); clearing user
+# registrations restores the builtins, never the bare stub.
 _DECODERS: dict[str, Callable] = {}
+_DEFAULT_DECODERS: dict[str, Callable] = {}
 
 
 def register_decoder(mime: str, fn: Callable) -> None:
@@ -152,7 +156,13 @@ def decode_features(
         for pdf in batches:
             rows = []
             for mime, grp in pdf.groupby("mime", sort=False):
-                fn = _DECODERS.get(batch_mime or mime, _stub_decoder)
+                # both dicts referenced directly (cloudpickle by-value:
+                # runtime registrations ship to workers — see the NOTE
+                # at register_transform)
+                key = batch_mime or mime
+                fn = _DECODERS.get(key) or _DEFAULT_DECODERS.get(
+                    key, _stub_decoder
+                )
                 try:
                     feats = fn(list(grp["payload"]))
                     for doc_id, f in zip(grp["doc_id"], feats):
@@ -182,8 +192,9 @@ _TRANSFORMS: dict[str, Callable] = {}
 def register_transform(name: str, fn: Callable, mime: str | None = None) -> None:
     """Swap in a real media transform: fn(payload: bytes, **params) -> bytes.
 
-    With ``mime`` the transform applies to that mime only (dispatch falls
-    back to the unscoped name, then the declared stub)."""
+    Dispatch order: an UNSCOPED registration overrides every mime-scoped
+    transform (it is the user saying "use mine for everything"); otherwise
+    the (name, mime)-scoped transform applies, then the declared stub."""
     _TRANSFORMS[(name, mime) if mime else name] = fn
 
 
@@ -306,15 +317,21 @@ def sample_frames(
                 fn = _TRANSFORMS.get("frame_iter") or _TRANSFORMS.get(
                     ("frame_iter", mime), _stub_frame_iter
                 )
+                # buffer per-doc so a demuxer that raises mid-iteration
+                # (valid through frame k, truncated after) contributes
+                # NO frames — the documented all-or-nothing soft behavior
+                doc_rows = []
                 try:
                     for frame_no, frame in fn(bytes(payload), every_n):
-                        ids.append(doc_id)
-                        nos.append(frame_no)
-                        frames.append(frame)
+                        doc_rows.append((frame_no, frame))
                 except ValueError:
                     # malformed container: no frames, same soft behavior
                     # as an empty payload
                     continue
+                for frame_no, frame in doc_rows:
+                    ids.append(doc_id)
+                    nos.append(frame_no)
+                    frames.append(frame)
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_no": nos, "frame": frames}
             )
@@ -325,16 +342,21 @@ def sample_frames(
 
 
 # PNG gets a REAL default resize (pure-python decoder + box-average +
-# re-encode, functions/png.py), and GIF/WAV get REAL frame demuxers
+# re-encode, functions/png.py), GIF/WAV get REAL frame demuxers
 # (container block-structure parsing, functions/containers.py — no codec
-# needed to locate frame boundaries).  The sha-stubs remain only for
-# mimes with no in-sandbox parser (jpeg/mpeg/webm), still swappable.
+# needed to locate frame boundaries), and JPEG gets a REAL structural
+# decoder (ITU T.81 marker walk, functions/jpeg.py: dimensions,
+# components, tables — not pixels).  The sha-stubs remain only for mimes
+# with no in-sandbox parser (mpeg/webm + jpeg/png pixel-resize), still
+# swappable.
 from batch_jaro_winkler_spark.functions.containers import (
     gif_frames as _gif_frames,
     wav_frames as _wav_frames,
 )
+from batch_jaro_winkler_spark.functions.jpeg import jpeg_features as _jpeg_features
 from batch_jaro_winkler_spark.functions.png import resize_png as _png_resize
 
+_DEFAULT_DECODERS["image/jpeg"] = _jpeg_features
 register_transform("resize", _png_resize, mime="image/png")
 register_transform("frame_iter", _gif_frames, mime="image/gif")
 register_transform("frame_iter", _wav_frames, mime="audio/wav-or-avi")

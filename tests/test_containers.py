@@ -69,6 +69,39 @@ def test_wav_demux_one_second_frames():
         list(wav_frames(b"RIFF\x00\x00\x00\x00AVI LIST", 1))  # not WAVE
 
 
+def test_wav_truncated_fmt_raises_valueerror():
+    """A fmt chunk whose DECLARED size is >=16 but whose actual body is
+    shorter must raise ValueError (module contract), not struct.error —
+    struct.error would escape sample_frames' soft-skip and fail the Spark
+    task (ADVICE r4)."""
+    payload = b"RIFF" + struct.pack("<I", 20) + b"WAVE"
+    payload += b"fmt " + struct.pack("<I", 16) + b"\x01\x00\x01\x00"  # 4 < 16
+    with pytest.raises(ValueError):
+        list(wav_frames(payload, 1))
+
+
+def test_sample_frames_no_partial_frames_on_midstream_failure(spark):
+    """A GIF valid through frame 2 then truncated must contribute ZERO
+    frames (all-or-nothing soft behavior), not the frames parsed before
+    the failure (ADVICE r4)."""
+    from batch_jaro_winkler_spark import multimodal as mm
+
+    good = make_gif(4)
+    # chop inside the stream: drop the trailer and the last frame's tail
+    truncated = good[: len(good) - 8]
+    assert len(list(gif_frames(good, 1))) == 4  # sanity: valid input works
+    with pytest.raises(ValueError):
+        list(gif_frames(truncated, 1))
+    df = spark.createDataFrame(
+        [(1, truncated), (2, good)], "doc_id long, payload binary"
+    )
+    out = {}
+    for r in mm.sample_frames(df, every_n=1).collect():
+        out.setdefault(r["doc_id"], []).append(r["frame_no"])
+    assert 1 not in out          # no partial frames leaked
+    assert sorted(out[2]) == [0, 1, 2, 3]
+
+
 def test_sample_frames_dispatches_by_mime(spark):
     """GIF/WAV payloads demux for real by default; other payloads keep the
     4KiB stub; corrupt containers soft-skip (no rows, job survives)."""
