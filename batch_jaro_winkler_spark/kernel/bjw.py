@@ -1273,8 +1273,14 @@ def _t_from_matches(
         _cumsum_rows(mt)
         rank_a = mt.reshape(-1).take(fa)
         if derive_m:
-            m = mt[Li - 1].astype(np.int64)
-            matched = (m >= required) & (m > 0)
+            if required is None:
+                # full-emission caller: only m is consumed (as floats),
+                # so keep it uint8 and skip the matched mask entirely
+                m = mt[Li - 1].copy()
+                matched = None
+            else:
+                m = mt[Li - 1].astype(np.int64)
+                matched = (m >= required) & (m > 0)
         fb = _buf("fidx_b", len(mc2), np.int32)
         np.multiply(mp2.astype(np.int32, copy=False), np.int32(n), out=fb)
         fb += mc2
@@ -1330,8 +1336,12 @@ def _t_from_matches(
         return t
     if derive_m:
         m = np.bincount(mc, minlength=n)
-        matched = (m >= required) & (m > 0)
-        good = matched & (m > 1)
+        if required is None:
+            matched = None
+            good = m > 1
+        else:
+            matched = (m >= required) & (m > 0)
+            good = matched & (m > 1)
     sel = good[mc]
     if sel.any():
         mc2, mch2 = mc[sel], mch[sel]
@@ -1633,17 +1643,18 @@ def _score_pass(
     matches = _collect_matches(model, in_codes_all, input_len, slices)
     lo, hi = band
     max_cl = int(model.lengths[hi - 1]) if hi > lo else 0
-    t, m, matched = _t_from_matches(
-        matches, None, None, n, input_len, max_cl, model.lengths,
-        required=required,
-        scratch=model.__dict__.setdefault("_scratch", {}),
-    )
-    if (
+    full_emit = (
         lo == 0
         and hi == n
         and (not len(eff_min) or float(eff_min.max()) <= 0.0)
         and (not len(required) or int(required.max()) <= 0)
-    ):
+    )
+    t, m, matched = _t_from_matches(
+        matches, None, None, n, input_len, max_cl, model.lengths,
+        required=None if full_emit else required,
+        scratch=model.__dict__.setdefault("_scratch", {}),
+    )
+    if full_emit:
         # full emission: every candidate appears (m > 0 scored, m == 0 at
         # 0.0) — whole-n array finalize, no survivor extraction or merge
         sc = _finalize_full(

@@ -118,6 +118,7 @@ def compute_signatures(
     text_col: str = "text",
     include_minhash: bool = False,
     pre_normalized: bool = False,
+    include_norm: bool = False,
 ) -> DataFrame:
     """docs[id_col, text_col] → [doc_id, n_tokens, sort_key, band_hashes,
     simhash, jw_text] with no shuffle (narrow map only).
@@ -126,7 +127,13 @@ def compute_signatures(
     need row-wise (hot-bucket neighbor ordering); the full 128-perm array is
     folded into ``band_hashes`` here and not materialized unless
     ``include_minhash`` (checkpointing 128 longs per doc is pure I/O waste
-    at 10^12 rows)."""
+    at 10^12 rows).
+
+    ``include_norm`` emits the full normalized text as ``norm`` and drops
+    ``jw_text`` (its prefix — derivable with one substring, so storing
+    both in a checkpoint would double the text bytes written).  This lets
+    the pipeline fuse normalization into this stage instead of paying a
+    separate normalize checkpoint's write→read barrier."""
     num_perm, bands, rows = cfg.num_perm, cfg.bands, cfg.rows_per_band
     k = cfg.shingle_k
     seed = cfg.seed
@@ -217,16 +224,17 @@ def compute_signatures(
                 "sort_key": out_min[:, 0].copy(),
                 "band_hashes": list(out_band),
                 "simhash": out_sim.view(np.int64),
-                "jw_text": pdf["norm"].str.slice(0, max_jw),
             }
+            if include_norm:
+                cols["norm"] = pdf["norm"]
+            else:
+                cols["jw_text"] = pdf["norm"].str.slice(0, max_jw)
             if include_minhash:
                 cols["minhash"] = list(out_min)
             yield pd.DataFrame(cols)
 
-    schema = (
-        "doc_id long, n_tokens int, sort_key long, "
-        "band_hashes array<long>, simhash long, jw_text string"
-    )
+    schema = "doc_id long, n_tokens int, sort_key long, band_hashes array<long>, simhash long"
+    schema += ", norm string" if include_norm else ", jw_text string"
     if include_minhash:
         schema += ", minhash array<long>"
     return prepped.mapInPandas(compute, schema=schema)

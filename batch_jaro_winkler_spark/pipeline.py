@@ -3,7 +3,8 @@
 
   documents
     → extract        html→text invariant check (byte-identical per url)
-    → signatures     MinHash + LSH band hashes + SimHash   [no shuffle]
+    → signatures     normalize + MinHash + LSH band hashes + SimHash
+                     [no shuffle; carries `norm` for downstream stages]
     → jw_edges       LSH banding + capped pair-gen + batched Jaro-Winkler
                      verification                          [1 agg + 2 joins + grouped map]
     → sub_edges      winnowed fingerprint substring dedup  [1 shuffle + verify]
@@ -12,11 +13,15 @@
 Every stage writes an atomic parquet+manifest checkpoint keyed by the
 config hash (sources/catalog.py), so a killed run resumes from the last
 completed stage and a config change invalidates exactly the affected
-suffix of the DAG.
+suffix of the DAG.  Durable writes happen on background threads behind an
+eager localCheckpoint (the same lineage cut), so the write→read barrier
+never sits on the critical path; the run joins every writer before
+declaring success.
 """
 
 from __future__ import annotations
 
+import threading
 import time
 from dataclasses import dataclass
 
@@ -66,13 +71,56 @@ class DedupPipeline:
         self.cfg = cfg
         self.catalog = Catalog(spark, checkpoint_root)
         self.metrics: list[StageResult] = []
+        self._pending: list[tuple[str, threading.Thread]] = []
 
-    def _stage(self, name: str, compute) -> DataFrame:
+    def _stage(self, name: str, compute, overlap_write: bool = True) -> DataFrame:
+        """Run (or resume) one checkpointed stage.
+
+        With ``overlap_write`` the stage materializes via an eager
+        localCheckpoint (one job, lineage cut — functionally the same
+        table boundary the parquet read-back gave) and the durable
+        parquet+manifest write happens on a BACKGROUND thread while the
+        next stage computes: the write→read barrier leaves the critical
+        path.  Resume semantics are unchanged — the manifest is still
+        written last, and :meth:`_flush` joins every writer before the
+        pipeline declares the run complete.  Downstream consumes the
+        in-memory blocks instead of re-decoding parquet."""
         t0 = time.time()
-        df, cached = self.catalog.load_or_compute(name, self.cfg.config_hash(), compute)
-        rows = self.catalog.manifest(name)["rows"]
-        self.metrics.append(StageResult(name, rows, cached, round(time.time() - t0, 3)))
+        h = self.cfg.config_hash()
+        if self.catalog.exists(name, h):
+            df = self.catalog.read(name)
+            rows = self.catalog.manifest(name)["rows"]
+            self.metrics.append(
+                StageResult(name, rows, True, round(time.time() - t0, 3))
+            )
+            return df
+        if not overlap_write:
+            df, _ = self.catalog.load_or_compute(name, h, compute)
+            rows = self.catalog.manifest(name)["rows"]
+            self.metrics.append(
+                StageResult(name, rows, False, round(time.time() - t0, 3))
+            )
+            return df
+        df = compute().localCheckpoint(eager=True)
+        th = threading.Thread(
+            target=self.catalog.write, args=(name, df, h), daemon=False,
+            name=f"ckpt-{name}",
+        )
+        th.start()
+        self._pending.append((name, th))
+        # rows backfilled from the manifest at _flush time (-1 = pending)
+        self.metrics.append(StageResult(name, -1, False, round(time.time() - t0, 3)))
         return df
+
+    def _flush(self) -> None:
+        """Join background checkpoint writers and backfill row counts."""
+        for name, th in self._pending:
+            th.join()
+            m = self.catalog.manifest(name)
+            for sr in self.metrics:
+                if sr.name == name and sr.rows < 0:
+                    sr.rows = m["rows"]
+        self._pending.clear()
 
     def run(
         self,
@@ -91,26 +139,22 @@ class DedupPipeline:
         if docs.rdd.getNumPartitions() < parallelism:
             docs = docs.repartition(parallelism)
 
-        # normalize ONCE (pandas regex — far faster than java.util.regex)
-        # and checkpoint; every downstream stage consumes `norm`
-        def _normalize():
-            from batch_jaro_winkler_spark.functions.text import normalize_pandas
-
-            def go(batches):
-                for pdf in batches:
-                    yield pdf.assign(norm=normalize_pandas(pdf["text"]))[
-                        ["doc_id", "norm"]
-                    ]
-
-            return docs.mapInPandas(go, schema="doc_id long, norm string")
-
-        norm_docs = self._stage("normalized", _normalize)
-
+        # normalization is FUSED into the signatures stage (include_norm):
+        # a separate normalize checkpoint cost a full write→read barrier
+        # plus a second Arrow round-trip of the whole corpus through
+        # Python, for a stage that is a pure narrow map.  The signatures
+        # checkpoint carries the normalized text once (`norm`; jw_text is
+        # its prefix, derived by substring below instead of stored twice)
+        # and every downstream stage selects from it.
         signatures = self._stage(
             "signatures",
             lambda: compute_signatures(
-                norm_docs, cfg, "doc_id", "norm", pre_normalized=True
+                docs, cfg, "doc_id", "text", include_norm=True
             ),
+        )
+        norm_docs = signatures.select("doc_id", "norm")
+        sig_jw = signatures.withColumn(
+            "jw_text", F.substring(F.col("norm"), 1, cfg.max_jw_len)
         )
         # candidate generation folds into the verification stage: the pair
         # list is intermediate (nothing else consumes it), so a separate
@@ -124,7 +168,7 @@ class DedupPipeline:
             "jw_edges",
             lambda: verify_pairs(
                 candidate_pairs(band_buckets(signatures), cfg).select("a", "b"),
-                signatures, cfg, "doc_id", "jw_text",
+                sig_jw, cfg, "doc_id", "jw_text",
             ),
         )
         if with_substring_stage:
@@ -154,6 +198,9 @@ class DedupPipeline:
             "clusters",
             lambda: connected_components(edges, cfg, all_nodes=docs.select("doc_id")),
         )
+        # durability before success: every background checkpoint write
+        # (manifest last) completes before the run is declared done
+        self._flush()
         return clusters
 
     # ------------------------------------------------------------------
@@ -232,24 +279,15 @@ class DedupPipeline:
             return old_clusters
         inc = f"inc_{tok_row['n']}_{tok_row['h'] & 0xFFFFFFFF:08x}"
 
-        def _normalize():
-            from batch_jaro_winkler_spark.functions.text import normalize_pandas
-
-            def go(batches):
-                for pdf in batches:
-                    yield pdf.assign(norm=normalize_pandas(pdf["text"]))[
-                        ["doc_id", "norm"]
-                    ]
-
-            return new_docs.mapInPandas(go, schema="doc_id long, norm string")
-
-        norm_new = self._stage(f"normalized_{inc}", _normalize)
+        # normalization fused into the increment's signatures stage, same
+        # as the full run: the checkpoint carries `norm`, jw_text derives
         new_sigs = self._stage(
             f"signatures_{inc}",
             lambda: compute_signatures(
-                norm_new, cfg, "doc_id", "norm", pre_normalized=True
+                new_docs, cfg, "doc_id", "text", include_norm=True
             ),
         )
+        norm_new = new_sigs.select("doc_id", "norm")
 
         def _pairs():
             new_buckets = band_buckets(new_sigs)
@@ -272,8 +310,9 @@ class DedupPipeline:
 
         pairs = self._stage(f"cand_pairs_{inc}", _pairs)
 
-        all_sigs = old_sigs.select("doc_id", "jw_text").union(
-            new_sigs.select("doc_id", "jw_text")
+        jw_of = F.substring(F.col("norm"), 1, cfg.max_jw_len).alias("jw_text")
+        all_sigs = old_sigs.select("doc_id", jw_of).union(
+            new_sigs.select("doc_id", jw_of)
         )
         new_edges = self._stage(
             f"jw_edges_{inc}",
@@ -305,7 +344,11 @@ class DedupPipeline:
             touched_old = old_fps.join(
                 new_fps.select("fp").distinct(), "fp", "left_semi"
             )
-            all_norm = self.catalog.read_union("normalized").unionByName(norm_new)
+            all_norm = (
+                self.catalog.read_union("signatures")
+                .select("doc_id", "norm")
+                .unionByName(norm_new)
+            )
             new_id_a = norm_new.select(F.col("doc_id").alias("a"))
             new_id_b = norm_new.select(F.col("doc_id").alias("b"))
 
@@ -340,18 +383,20 @@ class DedupPipeline:
             ),
         )
 
+        # the fold's add_part requires the part checkpoints to be durable:
+        # join every background stage write first
+        self._flush()
         # fold: clusters first (so a crash between the two writes leaves a
         # state where rerunning re-processes the docs rather than returning
         # a stale assignment), then manifest-append the parts
         clusters = self.catalog.write("clusters", clusters, cfg.config_hash())
         self.catalog.add_part("signatures", f"signatures_{inc}")
-        self.catalog.add_part("normalized", f"normalized_{inc}")
         if has_fp_state:
             self.catalog.add_part("fingerprints", f"fingerprints_{inc}")
         # bound the logical tables' scan fan-in: after many daily folds the
         # base+parts union would otherwise grow one parquet scan per
         # increment forever
-        for tbl in ("signatures", "normalized", "fingerprints"):
+        for tbl in ("signatures", "fingerprints"):
             if self.catalog.exists(tbl):
                 self.catalog.compact(tbl, max_parts=8)
         return clusters

@@ -235,7 +235,9 @@ def test_incremental_compaction_bounds_fanin(spark, tmp_path_factory):
     cat = pipe.catalog
     # fan-in bounded: parts list never exceeds the compaction threshold
     assert len(cat.parts("signatures")) <= 8
-    assert len(cat.parts("normalized")) <= 8
+    # the signatures table carries `norm` — downstream consumers read it
+    # from there (the separate normalized table was fused away, round 5)
+    assert "norm" in cat.read_union("signatures").columns
     # the logical table is complete and duplicate-free after compactions
     sig_ids = cat.read_union("signatures").select("doc_id")
     assert sig_ids.count() == sig_ids.distinct().count() == 90
