@@ -884,7 +884,9 @@ def _mm_jpeg_meta(spark, sf_dir):
             )
 
     jpegs = docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")
-    feats = decode_features(jpegs)
+    # route to the STRUCTURAL parser explicitly: since round 5 the bare
+    # image/jpeg builtin is the pixel decoder (graded by mm_jpeg_decode)
+    feats = decode_features(jpegs, batch_mime="image/jpeg+meta")
     return feats.select(
         "doc_id",
         "mime",
@@ -894,6 +896,60 @@ def _mm_jpeg_meta(spark, sf_dir):
         F.col("features").getItem(3).cast("long").alias("precision"),
         F.col("features").getItem(8).cast("long").alias("entropy_bytes"),
     )
+
+
+def _mm_jpeg_decode(spark, sf_dir):
+    """The REAL baseline huffman+IDCT JPEG pixel decoder driver-graded:
+    per doc, a blockwise-constant grayscale image (block value =
+    arithmetic in doc_id and block index) is baseline-encoded
+    (functions/jpeg.py encode_jpeg_baseline: DCT, quantize, canonical
+    huffman, byte stuffing) and routed through decode_features' sniffed
+    image/jpeg dispatch to the builtin PIXEL decoder.  Blockwise-constant
+    blocks quantize to a lone DC coefficient, and DC-only IDCT is exact,
+    so min/max luminance and the 8-bin histogram counts are closed-form
+    SQL over the generator arithmetic — any huffman, dequant, IDCT,
+    assembly, or histogram bug breaks the hash match."""
+    import numpy as np
+    import pandas as pd
+
+    from batch_jaro_winkler_spark.functions.jpeg import encode_jpeg_baseline
+    from batch_jaro_winkler_spark.multimodal import decode_features
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                bw, bh = d % 4 + 1, d % 3 + 1
+                vals = (d * 31 + np.arange(bh * bw) * 17) % 256
+                img = np.repeat(
+                    np.repeat(vals.reshape(bh, bw), 8, 0), 8, 1
+                ).astype(np.uint8)
+                payloads.append(encode_jpeg_baseline(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    jpegs = docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")
+    feats = decode_features(jpegs)
+    f = F.col("features")
+    size = (f.getItem(0) * f.getItem(1)).cast("double")
+    cols = [
+        F.col("doc_id"),
+        F.col("mime"),
+        f.getItem(0).cast("long").alias("width"),
+        f.getItem(1).cast("long").alias("height"),
+        f.getItem(2).cast("long").alias("channels"),
+        F.round(f.getItem(5) * 255).cast("long").alias("min_lum"),
+        F.round(f.getItem(6) * 255).cast("long").alias("max_lum"),
+    ]
+    # histogram features are count/size in float32; * size and round
+    # recovers the exact integer counts (relative error ~1e-7 << 0.5)
+    for i in range(8):
+        cols.append(
+            F.round(f.getItem(8 + i) * size).cast("long").alias(f"h{i}")
+        )
+    return feats.select(*cols)
 
 
 def _pipeline_clusters_star(spark, sf_dir):
@@ -961,6 +1017,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_samples_gif": _mm_frame_samples_gif,
         "mm_frame_samples_wav": _mm_frame_samples_wav,
         "mm_jpeg_meta": _mm_jpeg_meta,
+        "mm_jpeg_decode": _mm_jpeg_decode,
     }
 
 
@@ -1154,6 +1211,35 @@ def oracle_sql() -> dict[str, str]:
                    8::BIGINT AS precision,
                    ((doc_id % 7) * 16 + 16)::BIGINT AS entropy_bytes
             FROM documents WHERE doc_id < 50
+        """,
+        "mm_jpeg_decode": """
+            WITH d AS (
+              SELECT doc_id,
+                     doc_id % 4 + 1 AS bw,
+                     doc_id % 3 + 1 AS bh
+              FROM documents WHERE doc_id < 50
+            ), v AS (
+              SELECT doc_id, bw, bh,
+                     (doc_id * 31 + t.bi * 17) % 256 AS val
+              FROM d, UNNEST(generate_series(0, bw * bh - 1)) AS t(bi)
+            )
+            SELECT doc_id,
+                   'image/jpeg' AS mime,
+                   (8 * max(bw))::BIGINT AS width,
+                   (8 * max(bh))::BIGINT AS height,
+                   1::BIGINT AS channels,
+                   min(val)::BIGINT AS min_lum,
+                   max(val)::BIGINT AS max_lum,
+                   (64 * count(*) FILTER (WHERE val // 32 = 0))::BIGINT AS h0,
+                   (64 * count(*) FILTER (WHERE val // 32 = 1))::BIGINT AS h1,
+                   (64 * count(*) FILTER (WHERE val // 32 = 2))::BIGINT AS h2,
+                   (64 * count(*) FILTER (WHERE val // 32 = 3))::BIGINT AS h3,
+                   (64 * count(*) FILTER (WHERE val // 32 = 4))::BIGINT AS h4,
+                   (64 * count(*) FILTER (WHERE val // 32 = 5))::BIGINT AS h5,
+                   (64 * count(*) FILTER (WHERE val // 32 = 6))::BIGINT AS h6,
+                   (64 * count(*) FILTER (WHERE val // 32 = 7))::BIGINT AS h7
+            FROM v
+            GROUP BY doc_id
         """,
         "pipeline_clusters_star": f"""
             WITH {_pg_docs_sql()},

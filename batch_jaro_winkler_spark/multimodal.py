@@ -353,10 +353,21 @@ from batch_jaro_winkler_spark.functions.containers import (
     gif_frames as _gif_frames,
     wav_frames as _wav_frames,
 )
-from batch_jaro_winkler_spark.functions.jpeg import jpeg_features as _jpeg_features
+from batch_jaro_winkler_spark.functions.jpeg import (
+    jpeg_features as _jpeg_features,
+    jpeg_pixel_features as _jpeg_pixel_features,
+    resize_jpeg as _jpeg_resize,
+)
 from batch_jaro_winkler_spark.functions.png import resize_png as _png_resize
 
-_DEFAULT_DECODERS["image/jpeg"] = _jpeg_features
+# round 5: image/jpeg gets the REAL baseline huffman+IDCT pixel decoder
+# (png_features-layout stats); the structural marker-walk parser stays
+# reachable under the explicit "image/jpeg+meta" key (works on
+# progressive streams the pixel path refuses, and is what mm_jpeg_meta
+# grades).  decode_features(batch_mime="image/jpeg+meta") routes to it.
+_DEFAULT_DECODERS["image/jpeg"] = _jpeg_pixel_features
+_DEFAULT_DECODERS["image/jpeg+meta"] = _jpeg_features
 register_transform("resize", _png_resize, mime="image/png")
+register_transform("resize", _jpeg_resize, mime="image/jpeg")
 register_transform("frame_iter", _gif_frames, mime="image/gif")
 register_transform("frame_iter", _wav_frames, mime="audio/wav-or-avi")

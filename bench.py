@@ -202,6 +202,7 @@ def main() -> None:
         "mm_frame_samples_gif",
         "mm_frame_samples_wav",
         "mm_jpeg_meta",
+        "mm_jpeg_decode",
         "pipeline_lsh_pairs_exact",
         "pipeline_simhash_pairs_exact",
     ]:

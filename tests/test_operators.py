@@ -132,11 +132,13 @@ def test_ann_lsh_vs_bruteforce(spark):
 
 def test_multimodal_meta_and_decode(spark):
     from batch_jaro_winkler_spark import multimodal as mm
-    from batch_jaro_winkler_spark.functions.jpeg import encode_jpeg_gray
+    from batch_jaro_winkler_spark.functions.jpeg import encode_jpeg_baseline
 
     rows = [
         (1, bytes.fromhex("89504E47") + b"xxxx"),       # png magic
-        (2, encode_jpeg_gray(12, 7)),                     # real jpeg (builtin)
+        # real baseline jpeg: since round 5 the image/jpeg builtin is the
+        # PIXEL decoder, so the fixture must be entropy-decodable
+        (2, encode_jpeg_baseline(np.full((7, 12), 99, np.uint8))),
         (3, b"<html><body>hi</body></html>"),
         (4, b"plain bytes"),
         (5, b""),                                          # decoder error path
@@ -152,9 +154,11 @@ def test_multimodal_meta_and_decode(spark):
 
     feats = {r["doc_id"]: r for r in mm.decode_features(df).collect()}
     assert len(feats[1]["features"]) == 16
-    # jpeg routes to the BUILTIN structural decoder, not the stub:
-    # slots 0-2 are the real parsed (width, height, components)
+    # jpeg routes to the BUILTIN pixel decoder, not the stub: slots 0-2
+    # are the decoded (width, height, channels) and slot 3 the mean
+    # luminance of the constant-99 image
     assert feats[2]["features"][:3] == [12.0, 7.0, 1.0]
+    assert abs(feats[2]["features"][3] - 99.0 / 255.0) < 1e-4
     assert feats[5]["features"] is None and "empty payload" in feats[5]["decode_error"]
     # deterministic: same payload → same features
     again = {r["doc_id"]: r for r in mm.decode_features(df).collect()}
@@ -343,8 +347,11 @@ def test_png_resize_is_real_and_default(spark):
 
     rows = [
         (1, encode_png(px)),
-        (2, b"\xff\xd8\xff\xe0jpegdata" * 10),  # jpeg → stub thumbnail
+        (2, b"plain unrecognized bytes" * 10),   # no magic → stub thumbnail
         (3, b"\x89PNGbroken"),                   # corrupt → resize_error
+        # jpeg magic + garbage: since round 5 image/jpeg has a REAL
+        # resize (decode→box-average→re-encode), so this soft-fails
+        (4, b"\xff\xd8\xff\xe0jpegdata" * 10),
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     got = {r["doc_id"]: r for r in mm.resize_images(df, width=3, height=4).collect()}
@@ -354,6 +361,7 @@ def test_png_resize_is_real_and_default(spark):
     assert got[2]["thumb"] is not None and got[2]["resize_error"] is None
     assert len(bytes(got[2]["thumb"])) <= 3 * 4  # stub contract
     assert got[3]["thumb"] is None and got[3]["resize_error"]
+    assert got[4]["thumb"] is None and got[4]["resize_error"]
 
 
 # --- streaming faces ---
