@@ -952,6 +952,50 @@ def _mm_jpeg_decode(spark, sf_dir):
     return feats.select(*cols)
 
 
+def _mm_resize_jpeg(spark, sf_dir):
+    """The full JPEG transform chain driver-graded end-to-end: encode ->
+    resize_images (decode -> exact box-average -> baseline re-encode,
+    the registered image/jpeg default) -> decode_features (pixel
+    builtin).  Fixtures are per-doc CONSTANT grays: a constant image is
+    DC-only at every stage (source decode, box-average, thumb re-encode,
+    thumb decode), so the luminance survives two full codec round trips
+    plus the resize bit-exactly and min/max are closed-form SQL; the
+    thumb's decoded dimensions pin the resize geometry.  (Non-constant
+    thumbs re-encode with <=1 LSB quantization error, so box-filter
+    WEIGHT correctness is pinned by tests/test_jpeg_codec.py instead.)"""
+    import numpy as np
+    import pandas as pd
+
+    from batch_jaro_winkler_spark.functions.jpeg import encode_jpeg_baseline
+    from batch_jaro_winkler_spark.multimodal import decode_features, resize_images
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+
+    def build(batches):
+        for pdf in batches:
+            payloads = []
+            for d in pdf["doc_id"]:
+                v = (int(d) * 37 + 11) % 256
+                img = np.full((16, 24), v, dtype=np.uint8)
+                payloads.append(encode_jpeg_baseline(img))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    jpegs = docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")
+    thumbs = resize_images(jpegs, width=3, height=2).select(
+        "doc_id", F.col("thumb").alias("payload")
+    )
+    feats = decode_features(thumbs)
+    f = F.col("features")
+    return feats.select(
+        "doc_id",
+        "mime",
+        f.getItem(0).cast("long").alias("width"),
+        f.getItem(1).cast("long").alias("height"),
+        F.round(f.getItem(5) * 255).cast("long").alias("min_lum"),
+        F.round(f.getItem(6) * 255).cast("long").alias("max_lum"),
+    )
+
+
 def _pipeline_clusters_star(spark, sf_dir):
     """The DISTRIBUTED connected-components star path, driver-graded:
     large-star/small-star rounds + checksum fixpoint run end-to-end
@@ -1018,6 +1062,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_samples_wav": _mm_frame_samples_wav,
         "mm_jpeg_meta": _mm_jpeg_meta,
         "mm_jpeg_decode": _mm_jpeg_decode,
+        "mm_resize_jpeg": _mm_resize_jpeg,
     }
 
 
@@ -1240,6 +1285,15 @@ def oracle_sql() -> dict[str, str]:
                    (64 * count(*) FILTER (WHERE val // 32 = 7))::BIGINT AS h7
             FROM v
             GROUP BY doc_id
+        """,
+        "mm_resize_jpeg": """
+            SELECT doc_id,
+                   'image/jpeg' AS mime,
+                   3::BIGINT AS width,
+                   2::BIGINT AS height,
+                   ((doc_id * 37 + 11) % 256)::BIGINT AS min_lum,
+                   ((doc_id * 37 + 11) % 256)::BIGINT AS max_lum
+            FROM documents WHERE doc_id < 40
         """,
         "pipeline_clusters_star": f"""
             WITH {_pg_docs_sql()},

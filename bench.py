@@ -203,6 +203,7 @@ def main() -> None:
         "mm_frame_samples_wav",
         "mm_jpeg_meta",
         "mm_jpeg_decode",
+        "mm_resize_jpeg",
         "pipeline_lsh_pairs_exact",
         "pipeline_simhash_pairs_exact",
     ]:
