@@ -852,6 +852,72 @@ def _mm_frame_samples_wav(spark, sf_dir):
     )
 
 
+def _mm_frame_samples_mp4(spark, sf_dir):
+    """The REAL ISO-BMFF demuxer (functions/containers.py) driver-graded:
+    synthetic MP4s with doc_id % 4 + 2 samples of 16 + 3*i + doc_id % 5
+    bytes, split across two chunks so the stsc/stco sample-table walk is
+    exercised, demuxed via sample_frames(every_n=2) through the sniffed
+    video/mp4 mime (ftyp fourcc at byte offset 4).  Sample numbers and
+    lengths are pure arithmetic in doc_id for the DuckDB twin."""
+    import struct
+
+    import pandas as pd
+
+    from batch_jaro_winkler_spark.multimodal import sample_frames
+
+    def box(fourcc: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+    def make_mp4(doc_id: int) -> bytes:
+        n = doc_id % 4 + 2
+        sizes = [16 + 3 * i + doc_id % 5 for i in range(n)]
+        ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom")
+        mdat = box(b"mdat", b"".join(bytes([i]) * s for i, s in enumerate(sizes)))
+        # two chunks: sample 0 alone, the rest together
+        offs = [len(ftyp) + 8, len(ftyp) + 8 + sizes[0]]
+        stsz = box(
+            b"stsz",
+            b"\x00" * 4
+            + struct.pack(">II", 0, n)
+            + b"".join(struct.pack(">I", s) for s in sizes),
+        )
+        stsc = box(
+            b"stsc",
+            b"\x00" * 4
+            + struct.pack(">I", 2)
+            + struct.pack(">III", 1, 1, 1)
+            + struct.pack(">III", 2, n - 1, 1),
+        )
+        stco = box(
+            b"stco",
+            b"\x00" * 4
+            + struct.pack(">I", 2)
+            + b"".join(struct.pack(">I", o) for o in offs),
+        )
+        stbl = box(b"stbl", stsz + stsc + stco)
+        minf = box(b"minf", stbl)
+        moov = box(b"moov", box(b"trak", box(b"mdia", minf)))
+        return ftyp + mdat + moov
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+
+    def build(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [make_mp4(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    mp4s = docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")
+    return sample_frames(mp4s, every_n=2).select(
+        "doc_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.length("frame").cast("long").alias("frame_len"),
+    )
+
+
 def _mm_jpeg_meta(spark, sf_dir):
     """The REAL JPEG structure parser (functions/jpeg.py) driver-graded:
     deterministic synthetic baseline JFIFs (width/height/entropy bytes
@@ -1060,6 +1126,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pipeline_clusters_star": _pipeline_clusters_star,
         "mm_frame_samples_gif": _mm_frame_samples_gif,
         "mm_frame_samples_wav": _mm_frame_samples_wav,
+        "mm_frame_samples_mp4": _mm_frame_samples_mp4,
         "mm_jpeg_meta": _mm_jpeg_meta,
         "mm_jpeg_decode": _mm_jpeg_decode,
         "mm_resize_jpeg": _mm_resize_jpeg,
@@ -1243,6 +1310,15 @@ def oracle_sql() -> dict[str, str]:
                    (CASE WHEN t.frame_no = d.nf - 1 THEN 500
                          ELSE 1000 END)::BIGINT AS frame_len
             FROM (SELECT doc_id, doc_id % 5 + 2 AS nf
+                  FROM documents WHERE doc_id < 50) d,
+                 UNNEST(generate_series(0, 4, 2)) AS t(frame_no)
+            WHERE t.frame_no < d.nf
+        """,
+        "mm_frame_samples_mp4": """
+            SELECT d.doc_id,
+                   t.frame_no::BIGINT AS frame_no,
+                   (16 + 3 * t.frame_no + d.doc_id % 5)::BIGINT AS frame_len
+            FROM (SELECT doc_id, doc_id % 4 + 2 AS nf
                   FROM documents WHERE doc_id < 50) d,
                  UNNEST(generate_series(0, 4, 2)) AS t(frame_no)
             WHERE t.frame_no < d.nf

@@ -47,10 +47,20 @@ MAGIC_BYTES = [
 ]
 
 
+# ISO BMFF (mp4/mov/m4a family) is not prefix-sniffable: bytes 1-4 are a
+# box size, the signature is the "ftyp" fourcc at bytes 5-8 (hex-head
+# positions 9-16).  Checked after the prefix table in BOTH sniffers.
+ISO_BMFF_FTYP_HEX = "66747970"
+ISO_BMFF_MIME = "video/mp4"
+
+
 def sniff_mime(payload: F.Column) -> F.Column:
     """Magic-byte mime sniff as a pure Column expression (codegen'd)."""
     head = F.upper(F.hex(F.substring(payload, 1, 8)))
-    expr = F.lit("application/octet-stream")
+    expr = F.when(
+        F.substring(head, 9, 8) == ISO_BMFF_FTYP_HEX.upper(),
+        F.lit(ISO_BMFF_MIME),
+    ).otherwise(F.lit("application/octet-stream"))
     for prefix, mime in reversed(MAGIC_BYTES):
         expr = F.when(head.startswith(prefix.upper()), F.lit(mime)).otherwise(expr)
     return expr
@@ -65,6 +75,10 @@ def sniff_mime_sql(text_expr: str) -> str:
     whens = " ".join(
         f"WHEN starts_with({head}, '{prefix.upper()}') THEN '{mime}'"
         for prefix, mime in MAGIC_BYTES
+    )
+    whens += (
+        f" WHEN substr({head}, 9, 8) = '{ISO_BMFF_FTYP_HEX.upper()}'"
+        f" THEN '{ISO_BMFF_MIME}'"
     )
     return f"(CASE {whens} ELSE 'application/octet-stream' END)"
 
@@ -342,15 +356,15 @@ def sample_frames(
 
 
 # PNG gets a REAL default resize (pure-python decoder + box-average +
-# re-encode, functions/png.py), GIF/WAV get REAL frame demuxers
+# re-encode, functions/png.py), GIF/WAV/MP4 get REAL frame demuxers
 # (container block-structure parsing, functions/containers.py — no codec
 # needed to locate frame boundaries), and JPEG gets a REAL structural
 # decoder (ITU T.81 marker walk, functions/jpeg.py: dimensions,
 # components, tables — not pixels).  The sha-stubs remain only for mimes
-# with no in-sandbox parser (mpeg/webm + jpeg/png pixel-resize), still
-# swappable.
+# with no in-sandbox parser (audio/mpeg + video/webm), still swappable.
 from batch_jaro_winkler_spark.functions.containers import (
     gif_frames as _gif_frames,
+    mp4_frames as _mp4_frames,
     wav_frames as _wav_frames,
 )
 from batch_jaro_winkler_spark.functions.jpeg import (
@@ -371,3 +385,4 @@ register_transform("resize", _png_resize, mime="image/png")
 register_transform("resize", _jpeg_resize, mime="image/jpeg")
 register_transform("frame_iter", _gif_frames, mime="image/gif")
 register_transform("frame_iter", _wav_frames, mime="audio/wav-or-avi")
+register_transform("frame_iter", _mp4_frames, mime="video/mp4")

@@ -201,6 +201,7 @@ def main() -> None:
         "pipeline_clusters_star",
         "mm_frame_samples_gif",
         "mm_frame_samples_wav",
+        "mm_frame_samples_mp4",
         "mm_jpeg_meta",
         "mm_jpeg_decode",
         "mm_resize_jpeg",

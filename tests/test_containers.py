@@ -1,6 +1,6 @@
-"""Real container demuxers (functions/containers.py): GIF block-structure
-and RIFF/WAVE chunk parsing — frame sampling without any codec, the last
-declared frame-iter stubs retired for these mimes."""
+"""Real container demuxers (functions/containers.py): GIF block-structure,
+RIFF/WAVE chunk and ISO-BMFF box/sample-table parsing — frame sampling
+without any codec, the declared frame-iter stubs retired for these mimes."""
 
 from __future__ import annotations
 
@@ -8,7 +8,11 @@ import struct
 
 import pytest
 
-from batch_jaro_winkler_spark.functions.containers import gif_frames, wav_frames
+from batch_jaro_winkler_spark.functions.containers import (
+    gif_frames,
+    mp4_frames,
+    wav_frames,
+)
 
 
 def make_gif(n_frames: int, with_gct: bool = True, with_ext: bool = True) -> bytes:
@@ -35,6 +39,77 @@ def make_wav(n_bytes: int, byte_rate: int = 8000) -> bytes:
     body = b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
     body += b"data" + struct.pack("<I", len(data)) + data
     return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _box(fourcc: bytes, body: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+
+def make_mp4(
+    sample_sizes: list[int],
+    chunks: list[int] | None = None,
+    use_co64: bool = False,
+    fixed_size: int = 0,
+) -> bytes:
+    """Minimal valid ISO-BMFF file: ftyp + mdat (samples concatenated) +
+    moov/trak/mdia/minf/stbl with stsz/stsc/stco(co64) describing them.
+    ``chunks`` splits the samples into runs sharing one chunk offset."""
+    if chunks is None:
+        chunks = [len(sample_sizes)]
+    assert sum(chunks) == len(sample_sizes)
+    ftyp = _box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom")
+    payload = b"".join(
+        bytes([i % 251]) * s for i, s in enumerate(sample_sizes)
+    )
+    mdat = _box(b"mdat", payload)
+    offs, pos, si = [], len(ftyp) + 8, 0
+    for c in chunks:
+        offs.append(pos)
+        for _ in range(c):
+            pos += sample_sizes[si]
+            si += 1
+    if fixed_size:
+        stsz = _box(
+            b"stsz",
+            b"\x00" * 4 + struct.pack(">II", fixed_size, len(sample_sizes)),
+        )
+    else:
+        stsz = _box(
+            b"stsz",
+            b"\x00" * 4
+            + struct.pack(">II", 0, len(sample_sizes))
+            + b"".join(struct.pack(">I", s) for s in sample_sizes),
+        )
+    runs = []  # stsc run-length encodes consecutive equal chunk loads
+    for ci, c in enumerate(chunks):
+        if not runs or runs[-1][1] != c:
+            runs.append((ci + 1, c))
+    stsc = _box(
+        b"stsc",
+        b"\x00" * 4
+        + struct.pack(">I", len(runs))
+        + b"".join(struct.pack(">III", fc, c, 1) for fc, c in runs),
+    )
+    if use_co64:
+        stco = _box(
+            b"co64",
+            b"\x00" * 4
+            + struct.pack(">I", len(offs))
+            + b"".join(struct.pack(">Q", o) for o in offs),
+        )
+    else:
+        stco = _box(
+            b"stco",
+            b"\x00" * 4
+            + struct.pack(">I", len(offs))
+            + b"".join(struct.pack(">I", o) for o in offs),
+        )
+    stbl = _box(b"stbl", stsz + stsc + stco)
+    minf = _box(b"minf", _box(b"vmhd", b"\x00" * 8) + stbl)
+    mdia = _box(b"mdia", _box(b"mdhd", b"\x00" * 20) + minf)
+    trak = _box(b"trak", _box(b"tkhd", b"\x00" * 80) + mdia)
+    moov = _box(b"moov", _box(b"mvhd", b"\x00" * 96) + trak)
+    return ftyp + mdat + moov
 
 
 def test_gif_demux_frames_and_sampling():
@@ -102,6 +177,49 @@ def test_sample_frames_no_partial_frames_on_midstream_failure(spark):
     assert sorted(out[2]) == [0, 1, 2, 3]
 
 
+def test_mp4_demux_samples_and_sampling():
+    sizes = [10, 25, 7, 300, 1]
+    mp4 = make_mp4(sizes)
+    frames = list(mp4_frames(mp4, every_n=1))
+    assert [(i, len(b)) for i, b in frames] == list(enumerate(sizes))
+    for i, fb in frames:  # each sample is its own verbatim mdat range
+        assert fb == bytes([i % 251]) * sizes[i]
+    assert [i for i, _ in mp4_frames(mp4, every_n=2)] == [0, 2, 4]
+
+
+def test_mp4_demux_multi_chunk_stsc_runs():
+    # 7 samples over chunks of (2,2,3): stsc run-length encodes to two
+    # entries; offsets/sizes must still resolve every sample exactly
+    sizes = [5, 6, 7, 8, 9, 10, 11]
+    mp4 = make_mp4(sizes, chunks=[2, 2, 3])
+    frames = list(mp4_frames(mp4, every_n=1))
+    assert [(i, len(b)) for i, b in frames] == list(enumerate(sizes))
+    assert all(fb == bytes([i % 251]) * sizes[i] for i, fb in frames)
+
+
+def test_mp4_demux_co64_and_fixed_size_stsz():
+    sizes = [16] * 4
+    assert [
+        (i, len(b)) for i, b in mp4_frames(make_mp4(sizes, use_co64=True), 1)
+    ] == [(0, 16), (1, 16), (2, 16), (3, 16)]
+    fixed = make_mp4(sizes, fixed_size=16)
+    assert len(list(mp4_frames(fixed, 1))) == 4
+
+
+def test_mp4_demux_rejects_malformed():
+    good = make_mp4([10, 20, 30])
+    with pytest.raises(ValueError):
+        list(mp4_frames(b"\x00" * 40, 1))  # no ftyp
+    with pytest.raises(ValueError):
+        list(mp4_frames(good[:-10], 1))  # truncated moov box
+    # stco pointing past EOF: patch its chunk-offset field (12 bytes past
+    # the "stco" fourcc: ver/flags u32 + count u32) to a huge value
+    at = good.index(b"stco") + 12
+    broken = good[:at] + struct.pack(">I", 2_000_000) + good[at + 4 :]
+    with pytest.raises(ValueError):
+        list(mp4_frames(broken, 1))
+
+
 def test_sample_frames_dispatches_by_mime(spark):
     """GIF/WAV payloads demux for real by default; other payloads keep the
     4KiB stub; corrupt containers soft-skip (no rows, job survives)."""
@@ -109,11 +227,13 @@ def test_sample_frames_dispatches_by_mime(spark):
 
     gif = make_gif(6)
     wav = make_wav(20_000)
+    mp4 = make_mp4([11, 22, 33, 44, 55])
     rows = [
         (1, gif),
         (2, wav),
         (3, b"plain text payload " * 500),   # stub: 4KiB pseudo-frames
         (4, b"GIF89a" + b"\xff" * 30),        # corrupt gif → no rows
+        (5, mp4),                             # ftyp-at-offset-4 sniff
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {}
@@ -124,3 +244,4 @@ def test_sample_frames_dispatches_by_mime(spark):
     assert [(i, len(b)) for i, b in sorted(out[2])] == [(0, 8000), (2, 4000)]
     assert [i for i, _ in sorted(out[3])] == [0, 2]  # stub frames 0 and 2
     assert 4 not in out
+    assert [(i, len(b)) for i, b in sorted(out[5])] == [(0, 11), (2, 33), (4, 55)]
