@@ -918,6 +918,101 @@ def _mm_frame_samples_mp4(spark, sf_dir):
     )
 
 
+def _mm_frame_samples_mp3(spark, sf_dir):
+    """The REAL MPEG-audio demuxer driver-graded: synthetic MPEG-1
+    Layer III streams (ID3v2-tagged so the ID3 magic sniffs audio/mpeg)
+    of doc_id % 4 + 2 frames at 32 kHz and bitrate 32*(doc_id % 5 + 1)
+    kbps — frame length is exactly 144*(doc_id % 5 + 1) bytes, pure
+    arithmetic for the DuckDB twin — demuxed via sample_frames(every_n=2)."""
+    import struct
+
+    import pandas as pd
+
+    from batch_jaro_winkler_spark.multimodal import sample_frames
+
+    bri = {32: 1, 64: 5, 96: 7, 128: 9, 160: 10}
+
+    def make_mp3(doc_id: int) -> bytes:
+        br = 32 * (doc_id % 5 + 1)
+        out = b"ID3\x04\x00\x00" + bytes([0, 0, 0, 10]) + b"\x00" * 10
+        h = (
+            (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16)
+            | (bri[br] << 12) | (2 << 10)
+        )
+        flen = 144 * br * 1000 // 32000
+        frame = struct.pack(">I", h) + b"\x5a" * (flen - 4)
+        return out + frame * (doc_id % 4 + 2)
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+
+    def build(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [make_mp3(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    mp3s = docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")
+    return sample_frames(mp3s, every_n=2).select(
+        "doc_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.length("frame").cast("long").alias("frame_len"),
+    )
+
+
+def _mm_frame_samples_webm(spark, sf_dir):
+    """The REAL EBML/Matroska demuxer driver-graded: synthetic WebM
+    payloads (EBML header + Segment + one Cluster) of doc_id % 4 + 2
+    SimpleBlocks whose bodies are 14 + 3*i + doc_id % 5 bytes (track
+    vint + timecode + flags + payload) — arithmetic for the DuckDB twin —
+    demuxed via sample_frames(every_n=2) through the sniffed video/webm
+    mime."""
+    import struct
+
+    import pandas as pd
+
+    from batch_jaro_winkler_spark.multimodal import sample_frames
+
+    def ebml(id_bytes: bytes, body: bytes) -> bytes:
+        assert len(body) < 0x3FFF
+        size = (
+            bytes([0x80 | len(body)])
+            if len(body) < 0x7F
+            else bytes([0x40 | (len(body) >> 8), len(body) & 0xFF])
+        )
+        return id_bytes + size + body
+
+    def make_webm(doc_id: int) -> bytes:
+        header = ebml(b"\x1a\x45\xdf\xa3", ebml(b"\x42\x86", b"\x01"))
+        blocks = b""
+        for i in range(doc_id % 4 + 2):
+            body = b"\x81" + struct.pack(">h", i) + b"\x00"
+            body += b"\x5a" * (10 + 3 * i + doc_id % 5)
+            blocks += ebml(b"\xa3", body)
+        cluster = ebml(b"\x1f\x43\xb6\x75", ebml(b"\xe7", b"\x00") + blocks)
+        return header + ebml(b"\x18\x53\x80\x67", cluster)
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
+
+    def build(batches):
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [make_webm(int(d)) for d in pdf["doc_id"]],
+                }
+            )
+
+    webms = docs.select("doc_id").mapInPandas(build, "doc_id long, payload binary")
+    return sample_frames(webms, every_n=2).select(
+        "doc_id",
+        F.col("frame_no").cast("long").alias("frame_no"),
+        F.length("frame").cast("long").alias("frame_len"),
+    )
+
+
 def _mm_jpeg_meta(spark, sf_dir):
     """The REAL JPEG structure parser (functions/jpeg.py) driver-graded:
     deterministic synthetic baseline JFIFs (width/height/entropy bytes
@@ -1127,6 +1222,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mm_frame_samples_gif": _mm_frame_samples_gif,
         "mm_frame_samples_wav": _mm_frame_samples_wav,
         "mm_frame_samples_mp4": _mm_frame_samples_mp4,
+        "mm_frame_samples_mp3": _mm_frame_samples_mp3,
+        "mm_frame_samples_webm": _mm_frame_samples_webm,
         "mm_jpeg_meta": _mm_jpeg_meta,
         "mm_jpeg_decode": _mm_jpeg_decode,
         "mm_resize_jpeg": _mm_resize_jpeg,
@@ -1318,6 +1415,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id,
                    t.frame_no::BIGINT AS frame_no,
                    (16 + 3 * t.frame_no + d.doc_id % 5)::BIGINT AS frame_len
+            FROM (SELECT doc_id, doc_id % 4 + 2 AS nf
+                  FROM documents WHERE doc_id < 50) d,
+                 UNNEST(generate_series(0, 4, 2)) AS t(frame_no)
+            WHERE t.frame_no < d.nf
+        """,
+        "mm_frame_samples_mp3": """
+            SELECT d.doc_id,
+                   t.frame_no::BIGINT AS frame_no,
+                   (144 * (d.doc_id % 5 + 1))::BIGINT AS frame_len
+            FROM (SELECT doc_id, doc_id % 4 + 2 AS nf
+                  FROM documents WHERE doc_id < 50) d,
+                 UNNEST(generate_series(0, 4, 2)) AS t(frame_no)
+            WHERE t.frame_no < d.nf
+        """,
+        "mm_frame_samples_webm": """
+            SELECT d.doc_id,
+                   t.frame_no::BIGINT AS frame_no,
+                   (14 + 3 * t.frame_no + d.doc_id % 5)::BIGINT AS frame_len
             FROM (SELECT doc_id, doc_id % 4 + 2 AS nf
                   FROM documents WHERE doc_id < 50) d,
                  UNNEST(generate_series(0, 4, 2)) AS t(frame_no)

@@ -20,6 +20,14 @@ Both parsers below implement their PUBLIC container specs from scratch:
   (sizes), ``stsc`` (samples per chunk), ``stco``/``co64`` (chunk file
   offsets) — which locate every sample's byte range inside ``mdat``
   without touching the codec bitstream.  One sample IS one frame.
+* MP3 (MPEG-1/2 audio, ISO/IEC 11172-3 / 13818-3): after an optional
+  ID3v2 tag (syncsafe length), the stream is back-to-back audio frames
+  whose 4-byte headers encode version/layer/bitrate/samplerate/padding;
+  the frame length is closed-form in those fields, so frame boundaries
+  resolve without any huffman decode.  One audio frame IS one frame.
+* WebM (EBML/Matroska subset): elements of (vint id, vint size); the
+  Segment's Clusters carry SimpleBlocks, each one encoded media frame.
+  Only the element tree is parsed — block payloads stay opaque.
 
 Malformed payloads raise ValueError — the sample_frames dispatcher skips
 them (no frames), the same soft behavior as empty payloads.
@@ -29,7 +37,13 @@ from __future__ import annotations
 
 import struct
 
-__all__ = ["gif_frames", "wav_frames", "mp4_frames"]
+__all__ = [
+    "gif_frames",
+    "wav_frames",
+    "mp4_frames",
+    "mp3_frames",
+    "webm_frames",
+]
 
 
 def _skip_subblocks(data: bytes, pos: int) -> int:
@@ -249,3 +263,155 @@ def mp4_frames(payload: bytes, every_n: int):
             sample_no += 1
     if sample_no != len(sizes):
         raise ValueError("MP4: stsz implies more samples than stsc/stco")
+
+
+# kbps by (version_group, layer): version_group 1 = MPEG-1, 2 = MPEG-2/2.5
+# (which share tables); indices 1..14 of the 4-bit bitrate field (0 =
+# "free format", 15 = invalid — both rejected below).
+_MP3_BITRATE_KBPS = {
+    (1, 1): [32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448],
+    (1, 2): [32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384],
+    (1, 3): [32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320],
+    (2, 1): [32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256],
+    (2, 2): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+    (2, 3): [8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160],
+}
+# Hz by the header's 2-bit version field (0=MPEG-2.5, 2=MPEG-2, 3=MPEG-1)
+_MP3_SAMPLERATE = {
+    3: [44100, 48000, 32000],
+    2: [22050, 24000, 16000],
+    0: [11025, 12000, 8000],
+}
+
+
+def mp3_frames(payload: bytes, every_n: int):
+    """Yield (frame_no, frame_bytes) for every ``every_n``-th MPEG audio
+    frame.  Skips a leading ID3v2 tag and a trailing ID3v1 "TAG" block;
+    frame lengths are closed-form in each 4-byte header's version/layer/
+    bitrate/samplerate/padding fields — no entropy decode."""
+    data = bytes(payload)
+    n = len(data)
+    pos = 0
+    if data[:3] == b"ID3":
+        if n < 10:
+            raise ValueError("MP3: truncated ID3v2 header")
+        size = 0
+        for b in data[6:10]:
+            if b & 0x80:
+                raise ValueError("MP3: non-syncsafe ID3v2 size")
+            size = (size << 7) | b
+        pos = 10 + size
+        if data[5] & 0x10:  # footer-present flag
+            pos += 10
+    frame_no = 0
+    while pos < n:
+        if data[pos : pos + 3] == b"TAG":  # trailing ID3v1 tag
+            break
+        if pos + 4 > n:
+            raise ValueError("MP3: truncated frame header")
+        (h,) = struct.unpack(">I", data[pos : pos + 4])
+        if (h >> 21) & 0x7FF != 0x7FF:
+            raise ValueError("MP3: lost frame sync")
+        version = (h >> 19) & 3  # 0=MPEG-2.5, 1=reserved, 2=MPEG-2, 3=MPEG-1
+        layer = (h >> 17) & 3  # 1=Layer III, 2=Layer II, 3=Layer I
+        bri = (h >> 12) & 0xF
+        sri = (h >> 10) & 3
+        pad = (h >> 9) & 1
+        if version == 1 or layer == 0 or bri in (0, 15) or sri == 3:
+            raise ValueError("MP3: invalid/unsupported frame header")
+        vgroup = 1 if version == 3 else 2
+        br = _MP3_BITRATE_KBPS[(vgroup, 4 - layer)][bri - 1] * 1000
+        sr = _MP3_SAMPLERATE[version][sri]
+        if layer == 3:  # Layer I: 384 samples, 4-byte slots
+            flen = (12 * br // sr + pad) * 4
+        elif layer == 1 and vgroup == 2:  # MPEG-2/2.5 Layer III: 576 samples
+            flen = 72 * br // sr + pad
+        else:  # Layer II always, and MPEG-1 Layer III: 1152 samples
+            flen = 144 * br // sr + pad
+        if pos + flen > n:
+            raise ValueError("MP3: frame overruns payload")
+        if frame_no % every_n == 0:
+            yield frame_no, data[pos : pos + flen]
+        frame_no += 1
+        pos += flen
+    if frame_no == 0:
+        raise ValueError("MP3: no audio frames")
+
+
+_EBML_HEADER = 0x1A45DFA3
+_MKV_SEGMENT = 0x18538067
+_MKV_CLUSTER = 0x1F43B675
+_MKV_SIMPLEBLOCK = 0xA3
+_MKV_BLOCKGROUP = 0xA0
+_MKV_BLOCK = 0xA1
+
+
+def _ebml_vint(data: bytes, pos: int, end: int, keep_marker: bool):
+    """Parse one EBML variable-length integer → (value, next_pos, is_max).
+    ``keep_marker`` keeps the length-marker bit (element IDs compare with
+    it); sizes strip it.  is_max flags the all-ones "unknown size"."""
+    if pos >= end:
+        raise ValueError("EBML: truncated varint")
+    first = data[pos]
+    if first == 0:
+        raise ValueError("EBML: invalid varint (>8 bytes)")
+    length = 8 - first.bit_length() + 1
+    if pos + length > end:
+        raise ValueError("EBML: truncated varint")
+    val = first if keep_marker else first & ((1 << (8 - length)) - 1)
+    for b in data[pos + 1 : pos + length]:
+        val = (val << 8) | b
+    data_bits_max = (1 << (7 * length)) - 1
+    is_max = (val & data_bits_max) == data_bits_max if not keep_marker else False
+    return val, pos + length, is_max
+
+
+def _ebml_children(data: bytes, pos: int, end: int):
+    """Yield (element_id, body_start, body_end) for EBML elements in
+    data[pos:end]; an unknown-size element extends to the scope's end."""
+    while pos < end:
+        eid, pos, _ = _ebml_vint(data, pos, end, keep_marker=True)
+        size, pos, unknown = _ebml_vint(data, pos, end, keep_marker=False)
+        body_end = end if unknown else pos + size
+        if body_end > end:
+            raise ValueError("EBML: element size overruns scope")
+        yield eid, pos, body_end
+        pos = body_end
+
+
+def webm_frames(payload: bytes, every_n: int):
+    """Yield (frame_no, block_bytes) for every ``every_n``-th SimpleBlock
+    (or BlockGroup Block) across the Segment's Clusters of a WebM/
+    Matroska payload.  block_bytes is the raw block body (track vint +
+    timecode + flags + still-encoded media data) — structural demux only,
+    the codec bitstream is never interpreted."""
+    data = bytes(payload)
+    n = len(data)
+    first, _, _ = _ebml_vint(data, 0, n, keep_marker=True)
+    if first != _EBML_HEADER:
+        raise ValueError("not an EBML/WebM payload")
+    frame_no = 0
+    saw_segment = False
+    for eid, bs, be in _ebml_children(data, 0, n):
+        if eid != _MKV_SEGMENT:
+            continue
+        saw_segment = True
+        for cid, cbs, cbe in _ebml_children(data, bs, be):
+            if cid != _MKV_CLUSTER:
+                continue
+            for bid, bbs, bbe in _ebml_children(data, cbs, cbe):
+                blocks = []
+                if bid == _MKV_SIMPLEBLOCK:
+                    blocks.append((bbs, bbe))
+                elif bid == _MKV_BLOCKGROUP:
+                    blocks.extend(
+                        (gbs, gbe)
+                        for gid, gbs, gbe in _ebml_children(data, bbs, bbe)
+                        if gid == _MKV_BLOCK
+                    )
+                for lo, hi in blocks:
+                    if frame_no % every_n == 0:
+                        yield frame_no, data[lo:hi]
+                    frame_no += 1
+    if not saw_segment:
+        raise ValueError("WebM: missing Segment element")

@@ -355,17 +355,19 @@ def sample_frames(
     )
 
 
-# PNG gets a REAL default resize (pure-python decoder + box-average +
-# re-encode, functions/png.py), GIF/WAV/MP4 get REAL frame demuxers
-# (container block-structure parsing, functions/containers.py — no codec
-# needed to locate frame boundaries), and JPEG gets a REAL structural
-# decoder (ITU T.81 marker walk, functions/jpeg.py: dimensions,
-# components, tables — not pixels).  The sha-stubs remain only for mimes
-# with no in-sandbox parser (audio/mpeg + video/webm), still swappable.
+# Every sniffable media mime now has a REAL default for its natural
+# operation: PNG/JPEG decode + resize (functions/png.py, functions/
+# jpeg.py — pure-python codecs), and frame sampling for ALL five
+# frame-bearing containers (GIF/WAV/MP4/MP3/WebM, functions/
+# containers.py — block-structure demux, no codec needed to locate
+# frame boundaries).  The sha-stubs remain only as cross-operation
+# fallbacks (e.g. "resize" of a GIF), still swappable via the registry.
 from batch_jaro_winkler_spark.functions.containers import (
     gif_frames as _gif_frames,
+    mp3_frames as _mp3_frames,
     mp4_frames as _mp4_frames,
     wav_frames as _wav_frames,
+    webm_frames as _webm_frames,
 )
 from batch_jaro_winkler_spark.functions.jpeg import (
     jpeg_features as _jpeg_features,
@@ -386,3 +388,5 @@ register_transform("resize", _jpeg_resize, mime="image/jpeg")
 register_transform("frame_iter", _gif_frames, mime="image/gif")
 register_transform("frame_iter", _wav_frames, mime="audio/wav-or-avi")
 register_transform("frame_iter", _mp4_frames, mime="video/mp4")
+register_transform("frame_iter", _mp3_frames, mime="audio/mpeg")
+register_transform("frame_iter", _webm_frames, mime="video/webm")

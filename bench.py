@@ -202,6 +202,8 @@ def main() -> None:
         "mm_frame_samples_gif",
         "mm_frame_samples_wav",
         "mm_frame_samples_mp4",
+        "mm_frame_samples_mp3",
+        "mm_frame_samples_webm",
         "mm_jpeg_meta",
         "mm_jpeg_decode",
         "mm_resize_jpeg",

@@ -10,8 +10,10 @@ import pytest
 
 from batch_jaro_winkler_spark.functions.containers import (
     gif_frames,
+    mp3_frames,
     mp4_frames,
     wav_frames,
+    webm_frames,
 )
 
 
@@ -110,6 +112,73 @@ def make_mp4(
     trak = _box(b"trak", _box(b"tkhd", b"\x00" * 80) + mdia)
     moov = _box(b"moov", _box(b"mvhd", b"\x00" * 96) + trak)
     return ftyp + mdat + moov
+
+
+# bitrate-index for each MPEG-1 Layer III bitrate used by make_mp3
+_L3_BRI = {32: 1, 64: 5, 96: 7, 128: 9, 160: 10, 192: 11}
+
+
+def make_mp3(
+    bitrates_kbps: list[int],
+    with_id3v2: bool = True,
+    with_id3v1: bool = False,
+    pad_frames: set[int] | None = None,
+) -> bytes:
+    """MPEG-1 Layer III at 32 kHz: frame length = 144*br/32000 exactly
+    (pad adds 1).  One header+filler frame per listed bitrate."""
+    out = b""
+    if with_id3v2:
+        tag_body = b"\x00" * 20
+        out += b"ID3\x04\x00\x00" + bytes([0, 0, 0, len(tag_body)]) + tag_body
+    for i, br in enumerate(bitrates_kbps):
+        pad = 1 if pad_frames and i in pad_frames else 0
+        h = (
+            (0x7FF << 21)  # frame sync
+            | (3 << 19)  # MPEG-1
+            | (1 << 17)  # Layer III
+            | (1 << 16)  # no CRC
+            | (_L3_BRI[br] << 12)
+            | (2 << 10)  # 32 kHz
+            | (pad << 9)
+        )
+        flen = 144 * br * 1000 // 32000 + pad
+        out += struct.pack(">I", h) + bytes([i % 251]) * (flen - 4)
+    if with_id3v1:
+        out += b"TAG" + b"\x00" * 125
+    return out
+
+
+def _ebml_size(n: int) -> bytes:
+    if n < 0x7F:  # 0x7F itself is the 1-byte "unknown size" pattern
+        return bytes([0x80 | n])
+    assert n < 0x3FFF
+    return bytes([0x40 | (n >> 8), n & 0xFF])
+
+
+def _ebml(id_bytes: bytes, body: bytes) -> bytes:
+    return id_bytes + _ebml_size(len(body)) + body
+
+
+def make_webm(
+    block_payload_sizes: list[int],
+    use_blockgroup: set[int] | None = None,
+    unknown_segment_size: bool = False,
+) -> bytes:
+    """EBML header + Segment + one Cluster of SimpleBlocks (each: track
+    vint 0x81, i16be timecode, flags byte, opaque payload).  Indices in
+    ``use_blockgroup`` wrap their block in BlockGroup/Block instead."""
+    header = _ebml(b"\x1a\x45\xdf\xa3", _ebml(b"\x42\x86", b"\x01"))
+    blocks = b""
+    for i, sz in enumerate(block_payload_sizes):
+        body = b"\x81" + struct.pack(">h", i) + b"\x00" + bytes([i % 251]) * sz
+        if use_blockgroup and i in use_blockgroup:
+            blocks += _ebml(b"\xa0", _ebml(b"\xa1", body))
+        else:
+            blocks += _ebml(b"\xa3", body)
+    cluster = _ebml(b"\x1f\x43\xb6\x75", _ebml(b"\xe7", b"\x00") + blocks)
+    if unknown_segment_size:
+        return header + b"\x18\x53\x80\x67" + b"\xff" + cluster
+    return header + _ebml(b"\x18\x53\x80\x67", cluster)
 
 
 def test_gif_demux_frames_and_sampling():
@@ -220,6 +289,57 @@ def test_mp4_demux_rejects_malformed():
         list(mp4_frames(broken, 1))
 
 
+def test_mp3_demux_frames_and_sampling():
+    mp3 = make_mp3([32, 64, 96, 128, 160], with_id3v1=True)
+    frames = list(mp3_frames(mp3, every_n=1))
+    assert [(i, len(b)) for i, b in frames] == [
+        (0, 144), (1, 288), (2, 432), (3, 576), (4, 720),
+    ]
+    for i, fb in frames:  # header sync survives in each sampled frame
+        assert fb[0] == 0xFF and fb[1] & 0xE0 == 0xE0
+    assert [i for i, _ in mp3_frames(mp3, every_n=2)] == [0, 2, 4]
+    # padding bit adds one byte; no-ID3 stream parses from byte 0
+    padded = make_mp3([64, 64], with_id3v2=False, pad_frames={1})
+    assert [(i, len(b)) for i, b in mp3_frames(padded, 1)] == [(0, 288), (1, 289)]
+
+
+def test_mp3_demux_rejects_malformed():
+    with pytest.raises(ValueError):
+        list(mp3_frames(b"\x00" * 64, 1))  # no sync
+    with pytest.raises(ValueError):
+        list(mp3_frames(make_mp3([64, 64])[:-40], 1))  # truncated last frame
+    with pytest.raises(ValueError):
+        # free-format bitrate (index 0) is rejected, not guessed
+        h = (0x7FF << 21) | (3 << 19) | (1 << 17) | (1 << 16) | (2 << 10)
+        list(mp3_frames(struct.pack(">I", h) + b"\x00" * 100, 1))
+
+
+def test_webm_demux_blocks_and_sampling():
+    webm = make_webm([10, 20, 30, 40], use_blockgroup={2})
+    frames = list(webm_frames(webm, every_n=1))
+    # block body = track vint + i16 timecode + flags + payload = 4 + sz
+    assert [(i, len(b)) for i, b in frames] == [
+        (0, 14), (1, 24), (2, 34), (3, 44),
+    ]
+    for i, fb in frames:
+        assert fb[0] == 0x81  # track-1 vint leads every block body
+        assert fb[4:] == bytes([i % 251]) * (len(fb) - 4)
+    assert [i for i, _ in webm_frames(webm, every_n=2)] == [0, 2]
+    # streaming-style unknown Segment size resolves to end-of-payload
+    unk = make_webm([5, 6], unknown_segment_size=True)
+    assert [(i, len(b)) for i, b in webm_frames(unk, 1)] == [(0, 9), (1, 10)]
+
+
+def test_webm_demux_rejects_malformed():
+    with pytest.raises(ValueError):
+        list(webm_frames(b"\x00\x00\x00\x00", 1))  # invalid varint
+    with pytest.raises(ValueError):
+        list(webm_frames(b"RIFF1234WAVE", 1))  # wrong leading element
+    good = make_webm([10, 20])
+    with pytest.raises(ValueError):
+        list(webm_frames(good[:-6], 1))  # element size overruns scope
+
+
 def test_sample_frames_dispatches_by_mime(spark):
     """GIF/WAV payloads demux for real by default; other payloads keep the
     4KiB stub; corrupt containers soft-skip (no rows, job survives)."""
@@ -234,6 +354,8 @@ def test_sample_frames_dispatches_by_mime(spark):
         (3, b"plain text payload " * 500),   # stub: 4KiB pseudo-frames
         (4, b"GIF89a" + b"\xff" * 30),        # corrupt gif → no rows
         (5, mp4),                             # ftyp-at-offset-4 sniff
+        (6, make_mp3([64, 64, 64])),          # ID3 prefix → audio/mpeg
+        (7, make_webm([10, 20, 30])),         # EBML prefix → video/webm
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {}
@@ -245,3 +367,5 @@ def test_sample_frames_dispatches_by_mime(spark):
     assert [i for i, _ in sorted(out[3])] == [0, 2]  # stub frames 0 and 2
     assert 4 not in out
     assert [(i, len(b)) for i, b in sorted(out[5])] == [(0, 11), (2, 33), (4, 55)]
+    assert [(i, len(b)) for i, b in sorted(out[6])] == [(0, 288), (2, 288)]
+    assert [(i, len(b)) for i, b in sorted(out[7])] == [(0, 14), (2, 34)]
