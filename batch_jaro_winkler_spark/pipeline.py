@@ -194,9 +194,16 @@ class DedupPipeline:
             edges = jw_edges.select("a", "b").union(sub_edges.select("a", "b"))
         else:
             edges = jw_edges.select("a", "b")
+        # all_nodes from the signatures checkpoint, not the raw input:
+        # compute_signatures emits exactly one row per input doc (empty
+        # docs included, n_tokens=0), and reading doc_id off the eager
+        # localCheckpoint avoids re-scanning + re-repartitioning the
+        # whole corpus a second time inside the final stage
         clusters = self._stage(
             "clusters",
-            lambda: connected_components(edges, cfg, all_nodes=docs.select("doc_id")),
+            lambda: connected_components(
+                edges, cfg, all_nodes=signatures.select("doc_id")
+            ),
         )
         # durability before success: every background checkpoint write
         # (manifest last) completes before the run is declared done
