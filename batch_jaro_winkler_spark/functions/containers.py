@@ -172,6 +172,11 @@ def _parse_stbl(data: bytes, start: int, end: int):
                 raise ValueError("MP4: truncated stsz")
             fixed, count = struct.unpack(">II", body[4:12])
             if fixed:  # constant-size samples: table omitted
+                # bound BEFORE materializing: a mutated count (u32 up to
+                # 4G) would otherwise allocate a multi-GB list for a
+                # payload the samples cannot possibly fit inside
+                if fixed * count > len(data):
+                    raise ValueError("MP4: stsz samples exceed payload")
                 sizes = [fixed] * count
             else:
                 if len(body) < 12 + 4 * count:
@@ -245,6 +250,8 @@ def mp4_frames(payload: bytes, every_n: int):
         if first_chunk != len(spc) + 1:
             raise ValueError("MP4: stsc first_chunk out of sequence")
         last = stsc[i + 1][0] - 1 if i + 1 < len(stsc) else n_chunks
+        if last > n_chunks:  # bound BEFORE extending: mutated u32
+            raise ValueError("MP4: stsc first_chunk beyond chunk list")
         spc.extend([per_chunk] * (last - len(spc)))
     if len(spc) != n_chunks:
         raise ValueError("MP4: stsc does not cover the chunk list")

@@ -340,6 +340,41 @@ def test_webm_demux_rejects_malformed():
         list(webm_frames(good[:-6], 1))  # element size overruns scope
 
 
+def test_demuxers_raise_only_valueerror():
+    """sample_frames soft-skips ValueError ONLY — any struct.error /
+    IndexError / KeyError escaping a parser kills the whole Spark task
+    (the ADVICE-r4 WAV bug class).  Deterministic fuzz: random payloads
+    plus truncations/mutations of valid containers."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    valid = [
+        make_gif(3),
+        make_wav(12_000),
+        make_mp4([10, 20, 30], chunks=[1, 2]),
+        make_mp3([64, 96, 128]),
+        make_webm([10, 20, 30], use_blockgroup={1}),
+    ]
+    parsers = [gif_frames, wav_frames, mp4_frames, mp3_frames, webm_frames]
+    cases = []
+    for _ in range(300):
+        cases.append(bytes(rng.randrange(256) for _ in range(rng.randrange(0, 200))))
+    for v in valid:
+        for _ in range(100):
+            cut = rng.randrange(0, len(v) + 1)
+            cases.append(v[:cut])
+            mut = bytearray(v)
+            for _ in range(rng.randrange(1, 4)):
+                mut[rng.randrange(len(mut))] = rng.randrange(256)
+            cases.append(bytes(mut))
+    for payload in cases:
+        for parse in parsers:
+            try:
+                list(parse(payload, 2))
+            except ValueError:
+                pass  # the one exception type the dispatcher soft-skips
+
+
 def test_sample_frames_dispatches_by_mime(spark):
     """GIF/WAV payloads demux for real by default; other payloads keep the
     4KiB stub; corrupt containers soft-skip (no rows, job survives)."""
