@@ -57,12 +57,24 @@ def main() -> None:
     small_runs: list[dict] = []
     big_runs: list[dict] = []
     rejected: list[dict] = []
+    attempts = {2: 0, 8: 0}
     while True:
         need_big = reps_big - len(big_runs)
         need_small = reps_small - len(small_runs)
         if need_big <= 0 and need_small <= 0:
             break
-        cores = 8 if need_big >= need_small else 2
+        # Keep ATTEMPTS proportional to quota rather than gating small
+        # legs on big-leg acceptance: in a persistently-bursty window
+        # (every sample rejected) bench.py's acceptance-driven order
+        # would never run a 2-core leg at all, leaving the all-samples
+        # fallback with nothing to pair.  Proportional attempts
+        # guarantee both legs accumulate same-window evidence.
+        if need_big <= 0:
+            cores = 2
+        elif need_small <= 0:
+            cores = 8
+        else:
+            cores = 8 if attempts[8] / reps_big <= attempts[2] / reps_small else 2
         done = small_runs + big_runs + rejected
         if done:
             est = max(
@@ -82,6 +94,7 @@ def main() -> None:
             time.sleep(60)
             continue
         print(f"[prime] leg cores={cores} (ambient {amb:.4f})", flush=True)
+        attempts[cores] += 1
         leg = bench._run_leg(cores, path)
         if not leg:
             print("[prime] leg produced no result", flush=True)
