@@ -4,8 +4,12 @@
 The reference's flow is: compile candidates once into an immutable
 *exportable model* (bytes, storable anywhere), instantiate a *runtime model*
 per process/thread, then run many queries against it.  Here the exportable
-model is a pickled :class:`~batch_jaro_winkler_spark.kernel.CandidateModel`
-(numpy arrays), the runtime model is the unpickled object, and queries are
+model is a versioned plain-data layout over the
+:class:`~batch_jaro_winkler_spark.kernel.CandidateModel` numpy buffers
+(kernel/serialize.py — mirroring the reference's own plain binary model
+layout, lib/batch_jaro_winkler.c:460-486; a model blob loaded from shared
+storage must never be able to execute code, so pickle is NOT accepted
+here), the runtime model is the validated parsed object, and queries are
 the vectorized kernel.  ``nb_runtime_threads`` is accepted for signature
 compatibility; parallelism in this engine comes from Spark partitions
 (SURVEY.md O16), not in-process threads.
@@ -13,9 +17,11 @@ compatibility; parallelism in this engine comes from Spark partitions
 
 from __future__ import annotations
 
-import pickle
-
 from batch_jaro_winkler_spark.kernel import CandidateModel, build_model, score
+from batch_jaro_winkler_spark.kernel.serialize import (
+    model_from_bytes,
+    model_to_bytes,
+)
 
 __all__ = [
     "build_exportable_model",
@@ -65,17 +71,15 @@ def build_exportable_model_bytes(
     model = build_model(
         cands, min_scores=mins, char_width=char_width or None
     )
-    return pickle.dumps(model, protocol=4)
+    return model_to_bytes(model)
 
 
 def build_runtime_model(exportable_model: bytes) -> CandidateModel:
-    try:
-        model = pickle.loads(exportable_model)
-    except Exception as exc:
-        raise ValueError("not an exportable model") from exc
-    if not isinstance(model, CandidateModel):
-        raise ValueError("not an exportable model")
-    return model
+    """Parse + validate a plain-data exportable model blob.  Rejects
+    non-conforming bytes (including pickles) with ValueError — the blob is
+    attacker-shaped by design (stored in RAM/disk/DB/S3, reference
+    README.md:85), so it must never reach a code-executing loader."""
+    return model_from_bytes(exportable_model)
 
 
 _UNIT_OUT_DTYPE = {1: "<u1", 2: "<u2", 4: "<u4"}

@@ -1,0 +1,175 @@
+"""Versioned plain-data layout for the exportable model.
+
+The reference's exportable model is explicitly designed to be stored
+anywhere — "RAM, disk, a database, S3" (reference/README.md:85) — and its
+C parser reads a plain binary layout of sized buffers
+(reference/lib/batch_jaro_winkler.c:460-486: header ints followed by the
+flat candidate/index arrays).  A pickled blob would make *loading a model
+from shared storage execute arbitrary code* (VERDICT_r5 #3), so this
+module mirrors the reference's design instead: a fixed little-endian
+header + length-prefixed raw numpy buffers in a canonical field order,
+and a parser that validates every structural invariant before
+constructing a :class:`CandidateModel`.  Pickle remains purely an
+internal Spark-broadcast optimization (never fed attacker-shaped bytes).
+
+Layout v1 (all little-endian):
+
+    magic   b"BJW1"
+    u32     version (=1)
+    u32     char_width (1, 2 or 4)
+    u32     flags (bit0 = has min_scores, bit1 = has orig_ids)
+    u64     n_candidates
+    then, per field in _FIELDS order: u64 element count + raw buffer
+    (min_scores / orig_ids present iff their flag bit is set)
+
+Lazy query-time indexes (position buckets, m2o views, scratch pools) are
+derived data — never serialized, rebuilt on first use exactly as the
+pickle path's ``__getstate__`` already guarantees.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+from batch_jaro_winkler_spark.kernel.bjw import CandidateModel
+
+__all__ = ["model_to_bytes", "model_from_bytes"]
+
+_MAGIC = b"BJW1"
+_VERSION = 1
+
+# canonical field order: (name, dtype).  first4 is stored flat (n*4).
+_FIELDS = [
+    ("offsets", "<i8"),
+    ("codes", "<u4"),
+    ("lengths", "<i8"),
+    ("group_char", "<u4"),
+    ("group_cand", "<i4"),
+    ("group_start", "<i4"),
+    ("group_end", "<i4"),
+    ("pos_flat", "<i4"),
+    ("first4", "<u4"),
+]
+_FLAG_MIN_SCORES = 1
+_FLAG_ORIG_IDS = 2
+
+
+def model_to_bytes(model: CandidateModel) -> bytes:
+    flags = 0
+    if model.min_scores is not None:
+        flags |= _FLAG_MIN_SCORES
+    if model.orig_ids is not None:
+        flags |= _FLAG_ORIG_IDS
+    parts = [
+        _MAGIC,
+        struct.pack("<III", _VERSION, model.char_width, flags),
+        struct.pack("<Q", model.nb_candidates),
+    ]
+
+    def emit(arr: np.ndarray, dtype: str) -> None:
+        flat = np.ascontiguousarray(arr, dtype=dtype).reshape(-1)
+        parts.append(struct.pack("<Q", flat.size))
+        parts.append(flat.tobytes())
+
+    for name, dtype in _FIELDS:
+        emit(getattr(model, name), dtype)
+    if flags & _FLAG_MIN_SCORES:
+        emit(model.min_scores, "<f4")
+    if flags & _FLAG_ORIG_IDS:
+        emit(model.orig_ids, "<i8")
+    return b"".join(parts)
+
+
+def _fail(why: str) -> None:
+    raise ValueError(f"not an exportable model ({why})")
+
+
+def model_from_bytes(blob: bytes) -> CandidateModel:
+    """Parse + validate a v1 blob.  Every structural invariant the kernel
+    relies on is checked here, so malformed or adversarial bytes raise
+    ValueError instead of crashing (or worse, executing) later."""
+    if not isinstance(blob, (bytes, bytearray, memoryview)):
+        _fail("not bytes")
+    buf = memoryview(blob)
+    if len(buf) < 24 or bytes(buf[:4]) != _MAGIC:
+        _fail("bad magic")
+    version, char_width, flags = struct.unpack_from("<III", buf, 4)
+    if version != _VERSION:
+        _fail(f"unsupported version {version}")
+    if char_width not in (1, 2, 4):
+        _fail("bad char_width")
+    if flags & ~(_FLAG_MIN_SCORES | _FLAG_ORIG_IDS):
+        _fail("unknown flags")
+    (n,) = struct.unpack_from("<Q", buf, 16)
+    if n > 2**31 - 1:
+        _fail("candidate count overflow")
+    pos = 24
+
+    def read(dtype: str) -> np.ndarray:
+        nonlocal pos
+        if pos + 8 > len(buf):
+            _fail("truncated")
+        (count,) = struct.unpack_from("<Q", buf, pos)
+        pos += 8
+        itemsize = np.dtype(dtype).itemsize
+        nbytes = count * itemsize
+        if pos + nbytes > len(buf):
+            _fail("truncated buffer")
+        arr = np.frombuffer(buf, dtype=dtype, count=count, offset=pos).copy()
+        pos += nbytes
+        return arr
+
+    fields = {name: read(dtype) for name, dtype in _FIELDS}
+    min_scores = read("<f4") if flags & _FLAG_MIN_SCORES else None
+    orig_ids = read("<i8") if flags & _FLAG_ORIG_IDS else None
+    if pos != len(buf):
+        _fail("trailing bytes")
+
+    offsets, codes, lengths = fields["offsets"], fields["codes"], fields["lengths"]
+    if len(offsets) != n + 1 or len(lengths) != n:
+        _fail("offsets/lengths size")
+    if n and (offsets[0] != 0 or np.any(np.diff(offsets) < 0)):
+        _fail("offsets not monotone from 0")
+    if (offsets[-1] if n else 0) != len(codes):
+        _fail("codes size")
+    if n and not np.array_equal(np.diff(offsets), lengths):
+        _fail("lengths inconsistent with offsets")
+    g = len(fields["group_char"])
+    for nm in ("group_cand", "group_start", "group_end"):
+        if len(fields[nm]) != g:
+            _fail(f"{nm} size")
+    if g:
+        gc, gs, ge = fields["group_cand"], fields["group_start"], fields["group_end"]
+        if gc.min() < 0 or gc.max() >= n:
+            _fail("group_cand out of range")
+        if gs.min() < 0 or np.any(gs > ge) or ge.max() > len(fields["pos_flat"]):
+            _fail("group slices out of range")
+        pf = fields["pos_flat"]
+        if len(pf) and (pf.min() < 0 or (n and pf.max() >= lengths.max(initial=0))):
+            _fail("pos_flat out of range")
+    if len(fields["first4"]) != n * 4:
+        _fail("first4 size")
+    if min_scores is not None and len(min_scores) != n:
+        _fail("min_scores size")
+    if orig_ids is not None and (
+        len(orig_ids) != n
+        or not np.array_equal(np.sort(orig_ids), np.arange(n, dtype=np.int64))
+    ):
+        _fail("orig_ids not a permutation")
+
+    return CandidateModel(
+        codes=codes,
+        offsets=offsets,
+        lengths=lengths,
+        group_char=fields["group_char"],
+        group_cand=fields["group_cand"],
+        group_start=fields["group_start"],
+        group_end=fields["group_end"],
+        pos_flat=fields["pos_flat"],
+        first4=fields["first4"].reshape(n, 4),
+        min_scores=min_scores,
+        char_width=char_width,
+        orig_ids=orig_ids,
+    )

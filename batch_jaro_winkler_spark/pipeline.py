@@ -102,25 +102,48 @@ class DedupPipeline:
             )
             return df
         df = compute().localCheckpoint(eager=True)
-        th = threading.Thread(
-            target=self.catalog.write, args=(name, df, h), daemon=False,
-            name=f"ckpt-{name}",
-        )
+        # a bare Thread swallows exceptions: a failed write would only
+        # surface later as manifest(name) == None (a TypeError far from the
+        # cause).  Capture the exception and re-raise it — with its original
+        # traceback — when the writer is joined (VERDICT_r5 #3).
+        box: dict[str, BaseException] = {}
+
+        def _write() -> None:
+            try:
+                self.catalog.write(name, df, h)
+            except BaseException as exc:  # noqa: BLE001 — re-raised at join
+                box["exc"] = exc
+
+        th = threading.Thread(target=_write, daemon=False, name=f"ckpt-{name}")
         th.start()
-        self._pending.append((name, th))
+        self._pending.append((name, th, box))
         # rows backfilled from the manifest at _flush time (-1 = pending)
         self.metrics.append(StageResult(name, -1, False, round(time.time() - t0, 3)))
         return df
 
-    def _flush(self) -> None:
-        """Join background checkpoint writers and backfill row counts."""
-        for name, th in self._pending:
-            th.join()
-            m = self.catalog.manifest(name)
-            for sr in self.metrics:
-                if sr.name == name and sr.rows < 0:
-                    sr.rows = m["rows"]
-        self._pending.clear()
+    def _flush(self, suppress_errors: bool = False) -> None:
+        """Join background checkpoint writers and backfill row counts.
+
+        Re-raises the first writer failure (original traceback preserved —
+        the exception object carries ``__traceback__`` from its thread)
+        unless ``suppress_errors`` — the error-path drain, where a stage
+        failure is already propagating and must not be masked."""
+        first_exc: BaseException | None = None
+        try:
+            for name, th, box in self._pending:
+                th.join()
+                exc = box.get("exc")
+                if exc is not None:
+                    first_exc = first_exc or exc
+                    continue
+                m = self.catalog.manifest(name)
+                for sr in self.metrics:
+                    if sr.name == name and sr.rows < 0:
+                        sr.rows = m["rows"]
+        finally:
+            self._pending.clear()
+        if first_exc is not None and not suppress_errors:
+            raise first_exc
 
     def run(
         self,
@@ -130,6 +153,21 @@ class DedupPipeline:
         with_substring_stage: bool = True,
     ) -> DataFrame:
         """docs[id_col, text_col, ...] → (doc_id, cluster_id) total assignment."""
+        try:
+            return self._run(docs, id_col, text_col, with_substring_stage)
+        except BaseException:
+            # a mid-run stage failure must not leak background writers:
+            # drain them (suppressed — the stage error is what propagates)
+            self._flush(suppress_errors=True)
+            raise
+
+    def _run(
+        self,
+        docs: DataFrame,
+        id_col: str,
+        text_col: str,
+        with_substring_stage: bool,
+    ) -> DataFrame:
         cfg = self.cfg
         docs = docs.select(F.col(id_col).cast("long").alias("doc_id"), F.col(text_col).alias("text"))
         # fan the map stages out to cluster width: small local inputs arrive
@@ -254,6 +292,15 @@ class DedupPipeline:
         Without it, substring links to old docs wait for the next full run
         (documented trade-off).
         """
+        try:
+            return self._run_incremental(new_docs, id_col, text_col)
+        except BaseException:
+            self._flush(suppress_errors=True)  # never leak writers
+            raise
+
+    def _run_incremental(
+        self, new_docs: DataFrame, id_col: str, text_col: str
+    ) -> DataFrame:
         from batch_jaro_winkler_spark.operators.lsh import band_buckets
 
         cfg = self.cfg

@@ -42,6 +42,59 @@ def test_api_per_candidate_min_scores_and_validation():
         api.build_runtime_model(b"not a model")
 
 
+def test_exportable_model_is_plain_data_not_pickle():
+    """VERDICT_r5 #4: the exportable blob is designed to live in shared
+    storage (reference README.md:85), so loading it must never execute
+    code.  Round-trip must preserve scoring exactly; pickles, truncations
+    and tampered structural fields must all be REJECTED with ValueError."""
+    import pickle
+    import struct
+
+    from batch_jaro_winkler_spark.kernel import build_model
+
+    cands = ["hélloz", "中国", "lolz", "hii", "hello world"]
+    blob = api.build_exportable_model(cands)
+    # plain data: no pickle opcodes, parseable magic header
+    assert blob[:4] == b"BJW1"
+    rt = api.build_runtime_model(blob)
+    direct = build_model(cands)
+    inp = "hellz 中"
+    assert api.jaro_winkler_distance(rt, inp) == api.jaro_winkler_distance(
+        direct, inp
+    )
+    # min_scores + bytes-path round trip (char_width 2)
+    blob2 = api.build_exportable_model_bytes(
+        2,
+        [
+            {"candidate": "ab".encode("utf-16-le"), "min_score": 0.1},
+            {"candidate": "cd".encode("utf-16-le"), "min_score": 0.9},
+        ],
+    )
+    rt2 = api.build_runtime_model(blob2)
+    assert rt2.char_width == 2 and rt2.min_scores is not None
+
+    # a pickle of a real CandidateModel must NOT load (code execution risk)
+    with pytest.raises(ValueError):
+        api.build_runtime_model(pickle.dumps(direct))
+    # truncation anywhere must fail cleanly
+    for cut in (0, 3, 10, len(blob) // 2, len(blob) - 1):
+        with pytest.raises(ValueError):
+            api.build_runtime_model(blob[:cut])
+    with pytest.raises(ValueError):
+        api.build_runtime_model(blob + b"\x00")  # trailing bytes
+    # tampered header: absurd candidate count must not allocate/crash
+    bad = bytearray(blob)
+    bad[16:24] = struct.pack("<Q", 2**40)
+    with pytest.raises(ValueError):
+        api.build_runtime_model(bytes(bad))
+    # tampered structural field: break offsets monotonicity
+    bad = bytearray(blob)
+    off0 = 24 + 8  # header + offsets count prefix
+    bad[off0 : off0 + 8] = struct.pack("<q", -5)
+    with pytest.raises(ValueError):
+        api.build_runtime_model(bytes(bad))
+
+
 # --- exact dedup ---
 
 
