@@ -171,6 +171,99 @@ def _run_leg(cores: int, path: str) -> dict | None:
     return None
 
 
+_SELECTION_RULE = (
+    "headline efficiency = median over same-window samples "
+    "whose AGGREGATE /proc/stat steal <= threshold — one "
+    "leg-symmetric gate (rejected samples kept in "
+    "samples_rejected_steal; if quotas unmet the headline "
+    "degrades to the all-samples median and "
+    "quota_fallback_all_samples=true); best_pair = fastest "
+    "accepted sample per leg; every sample also carries "
+    "per-leg-normalized steal and a fixed single-thread "
+    "memory-bandwidth calibration (cal_mbs, evidence only)"
+)
+
+
+def build_scaling_block(
+    small_runs: list[dict],
+    big_runs: list[dict],
+    rejected: list[dict],
+    steal_reject: float,
+) -> dict | None:
+    """Full scaling-evidence block (per-sample arrays included) from one
+    measurement window's legs.  Shared by bench.py and
+    scripts/prime_scaling.py so the two can never drift.  Returns None if
+    even the all-samples fallback has nothing to pair."""
+    import statistics
+
+    fallback = not (small_runs and big_runs)
+    if fallback:
+        # quotas unmet: degrade honestly to the all-samples median
+        small_runs = small_runs + [r for r in rejected if r["cores"] == 2]
+        big_runs = big_runs + [r for r in rejected if r["cores"] == 8]
+        rejected = []
+    if not (small_runs and big_runs):
+        return None
+    med_small = statistics.median(r["sec"] for r in small_runs)
+    med_big = statistics.median(r["sec"] for r in big_runs)
+    best_small = min(small_runs, key=lambda r: r["sec"])
+    best_big = min(big_runs, key=lambda r: r["sec"])
+    return {
+        "corpus_rows": SCALING_ROWS,
+        "cores_small": 2,
+        "cores_big": 8,
+        "samples_small": small_runs,
+        "samples_big": big_runs,
+        "samples_rejected_steal": rejected,
+        "steal_reject_threshold": steal_reject,
+        "quota_fallback_all_samples": fallback,
+        "sec_small_median": round(med_small, 3),
+        "sec_big_median": round(med_big, 3),
+        "docs_per_sec_small": round(SCALING_ROWS / med_small, 2),
+        "docs_per_sec_big": round(SCALING_ROWS / med_big, 2),
+        "speedup": round(med_small / med_big, 3),
+        "efficiency": round((med_small / med_big) / (8 / 2), 3),
+        "efficiency_best_pair": round(
+            (best_small["sec"] / best_big["sec"]) / (8 / 2), 3
+        ),
+        "best_pair_steal_of_leg": [
+            best_small.get("steal_of_leg"),
+            best_big.get("steal_of_leg"),
+        ],
+        "selection_rule": _SELECTION_RULE,
+    }
+
+
+def compact_scaling(full: dict) -> dict:
+    """The stdout view of a scaling block: headline numbers only.  The
+    driver's artifact keeps the last ~2 KB of stdout, and round 5's full
+    per-sample line outgrew that and recorded `parsed: null` — so the
+    samples/steal/calibration evidence lives in a sidecar file
+    (SCALING_EVIDENCE.json, referenced here by name) and stdout stays
+    compact (VERDICT_r5 #1)."""
+    return {
+        "corpus_rows": full["corpus_rows"],
+        "cores": [full["cores_small"], full["cores_big"]],
+        "n_samples": [len(full["samples_small"]), len(full["samples_big"])],
+        "n_rejected_steal": len(full["samples_rejected_steal"]),
+        "quota_fallback_all_samples": full["quota_fallback_all_samples"],
+        "sec_median": [full["sec_small_median"], full["sec_big_median"]],
+        "docs_per_sec_big": full["docs_per_sec_big"],
+        "speedup": full["speedup"],
+        "efficiency": full["efficiency"],
+        "efficiency_best_pair": full["efficiency_best_pair"],
+        "evidence": "SCALING_EVIDENCE.json",
+    }
+
+
+def _write_evidence(full: dict) -> None:
+    try:
+        with open(os.path.join(REPO, "SCALING_EVIDENCE.json"), "w") as fh:
+            json.dump(full, fh, indent=1)
+    except OSError:
+        pass
+
+
 def main() -> None:
     t_start = time.time()
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -264,7 +357,8 @@ def main() -> None:
         except (FileNotFoundError, json.JSONDecodeError, KeyError):
             pass
         if cached_scaling is not None:
-            result["scaling"] = cached_scaling
+            _write_evidence(cached_scaling)
+            result["scaling"] = compact_scaling(cached_scaling)
             print(json.dumps(result))
             return
         path = _scaling_corpus()
@@ -297,22 +391,33 @@ def main() -> None:
         small_runs: list[dict] = []
         big_runs: list[dict] = []
         rejected: list[dict] = []
+        attempts = {2: 0, 8: 0}
         while True:
             need_big = reps_big - len(big_runs)
             need_small = reps_small - len(small_runs)
             if need_big <= 0 and need_small <= 0:
                 break
-            # alternate, starting with the leg that needs more; a big leg
-            # is ~3x shorter so it goes first when tied (cheap probe of
-            # the current window)
-            cores = 8 if need_big >= need_small else 2
+            # Keep ATTEMPTS proportional to quota rather than gating small
+            # legs on big-leg acceptance (ADVICE_r5): in a persistently
+            # dirty window where every sample is steal-rejected, an
+            # acceptance-driven picker never runs a 2-core leg at all and
+            # the all-samples fallback has nothing to pair.  Proportional
+            # attempts guarantee both legs accumulate same-window evidence.
+            if need_big <= 0:
+                cores = 2
+            elif need_small <= 0:
+                cores = 8
+            else:
+                cores = 8 if attempts[8] / reps_big <= attempts[2] / reps_small else 2
             done = small_runs + big_runs + rejected
             if done:
-                est = max(r["sec"] for r in done if r["cores"] == cores) if any(
-                    r["cores"] == cores for r in done
-                ) else (done[-1]["sec"] * (3 if cores == 2 else 1))
+                est = max(
+                    (r["sec"] for r in done if r["cores"] == cores),
+                    default=done[-1]["sec"] * (3 if cores == 2 else 1),
+                )
                 if time.time() - t_start + est > budget:
                     break
+            attempts[cores] += 1
             leg = _run_leg(cores, path)
             if not leg:
                 continue
@@ -321,57 +426,14 @@ def main() -> None:
                 rejected.append(leg)
                 continue
             (big_runs if cores == 8 else small_runs).append(leg)
-        fallback = not (small_runs and big_runs)
-        if fallback:
-            # quotas unmet: degrade honestly to the all-samples median
-            small_runs = small_runs + [r for r in rejected if r["cores"] == 2]
-            big_runs = big_runs + [r for r in rejected if r["cores"] == 8]
-            rejected = []
-        if small_runs and big_runs:
-            import statistics
-
-            med_small = statistics.median(r["sec"] for r in small_runs)
-            med_big = statistics.median(r["sec"] for r in big_runs)
-            best_small = min(small_runs, key=lambda r: r["sec"])
-            best_big = min(big_runs, key=lambda r: r["sec"])
-            result["scaling"] = {
-                "corpus_rows": SCALING_ROWS,
-                "cores_small": 2,
-                "cores_big": 8,
-                "samples_small": small_runs,
-                "samples_big": big_runs,
-                "samples_rejected_steal": rejected,
-                "steal_reject_threshold": steal_reject,
-                "quota_fallback_all_samples": fallback,
-                "sec_small_median": round(med_small, 3),
-                "sec_big_median": round(med_big, 3),
-                "docs_per_sec_small": round(SCALING_ROWS / med_small, 2),
-                "docs_per_sec_big": round(SCALING_ROWS / med_big, 2),
-                "speedup": round(med_small / med_big, 3),
-                "efficiency": round((med_small / med_big) / (8 / 2), 3),
-                "efficiency_best_pair": round(
-                    (best_small["sec"] / best_big["sec"]) / (8 / 2), 3
-                ),
-                "best_pair_steal_of_leg": [
-                    best_small.get("steal_of_leg"),
-                    best_big.get("steal_of_leg"),
-                ],
-                "selection_rule": (
-                    "headline efficiency = median over same-window samples "
-                    "whose AGGREGATE /proc/stat steal <= threshold — one "
-                    "leg-symmetric gate (rejected samples kept in "
-                    "samples_rejected_steal; if quotas unmet the headline "
-                    "degrades to the all-samples median and "
-                    "quota_fallback_all_samples=true); best_pair = fastest "
-                    "accepted sample per leg; every sample also carries "
-                    "per-leg-normalized steal and a fixed single-thread "
-                    "memory-bandwidth calibration (cal_mbs, evidence only)"
-                ),
-            }
+        full = build_scaling_block(small_runs, big_runs, rejected, steal_reject)
+        if full is not None:
+            _write_evidence(full)
+            result["scaling"] = compact_scaling(full)
             try:
                 os.makedirs(CACHE, exist_ok=True)
                 with open(cache_file, "w") as fh:
-                    json.dump({"key": key, "scaling": result["scaling"]}, fh)
+                    json.dump({"key": key, "scaling": full}, fh)
             except OSError:
                 pass
 

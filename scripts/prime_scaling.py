@@ -23,7 +23,6 @@ from __future__ import annotations
 
 import json
 import os
-import statistics
 import sys
 import time
 
@@ -106,56 +105,15 @@ def main() -> None:
             continue
         (big_runs if cores == 8 else small_runs).append(leg)
 
-    fallback = not (small_runs and big_runs)
-    if fallback:
-        small_runs = small_runs + [r for r in rejected if r["cores"] == 2]
-        big_runs = big_runs + [r for r in rejected if r["cores"] == 8]
-        rejected = []
-    if not (small_runs and big_runs):
+    scaling = bench.build_scaling_block(small_runs, big_runs, rejected, steal_reject)
+    if scaling is None:
         print("[prime] FAILED: no usable sample pair; cache not written", flush=True)
         sys.exit(1)
 
-    med_small = statistics.median(r["sec"] for r in small_runs)
-    med_big = statistics.median(r["sec"] for r in big_runs)
-    best_small = min(small_runs, key=lambda r: r["sec"])
-    best_big = min(big_runs, key=lambda r: r["sec"])
-    scaling = {
-        "corpus_rows": bench.SCALING_ROWS,
-        "cores_small": 2,
-        "cores_big": 8,
-        "samples_small": small_runs,
-        "samples_big": big_runs,
-        "samples_rejected_steal": rejected,
-        "steal_reject_threshold": steal_reject,
-        "quota_fallback_all_samples": fallback,
-        "sec_small_median": round(med_small, 3),
-        "sec_big_median": round(med_big, 3),
-        "docs_per_sec_small": round(bench.SCALING_ROWS / med_small, 2),
-        "docs_per_sec_big": round(bench.SCALING_ROWS / med_big, 2),
-        "speedup": round(med_small / med_big, 3),
-        "efficiency": round((med_small / med_big) / (8 / 2), 3),
-        "efficiency_best_pair": round(
-            (best_small["sec"] / best_big["sec"]) / (8 / 2), 3
-        ),
-        "best_pair_steal_of_leg": [
-            best_small.get("steal_of_leg"),
-            best_big.get("steal_of_leg"),
-        ],
-        "selection_rule": (
-            "headline efficiency = median over same-window samples "
-            "whose AGGREGATE /proc/stat steal <= threshold — one "
-            "leg-symmetric gate (rejected samples kept in "
-            "samples_rejected_steal; if quotas unmet the headline "
-            "degrades to the all-samples median and "
-            "quota_fallback_all_samples=true); best_pair = fastest "
-            "accepted sample per leg; every sample also carries "
-            "per-leg-normalized steal and a fixed single-thread "
-            "memory-bandwidth calibration (cal_mbs, evidence only)"
-        ),
-    }
     os.makedirs(bench.CACHE, exist_ok=True)
     with open(os.path.join(bench.CACHE, "scaling.json"), "w") as fh:
         json.dump({"key": key, "scaling": scaling}, fh)
+    bench._write_evidence(scaling)
     print("[prime] SCALING " + json.dumps(scaling), flush=True)
 
 
