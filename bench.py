@@ -323,6 +323,10 @@ def main() -> None:
         "mm_jpeg_meta",
         "mm_jpeg_decode",
         "mm_resize_jpeg",
+        # round-6 graded surface: demux→sniff→decode composition and the
+        # corrupt-container soft-fail path
+        "mm_frame_features",
+        "mm_frame_samples_corrupt",
         "pipeline_lsh_pairs_exact",
         "pipeline_simhash_pairs_exact",
     ]:

@@ -818,3 +818,95 @@ def test_ann_ivf_vs_bruteforce(spark):
     assert recall >= 0.8, recall
     # the probe itself must be in its own cell's list
     assert all((p * per, p * per) in v for p in range(5))
+
+
+def test_sniff_mime_sql_matches_byte_semantics():
+    """ADVICE_r5: the DuckDB sniff twin's positional ftyp test must match
+    Spark's binary-substring semantics even with multibyte utf-8 chars in
+    the first 8 positions.  A char prefix encodes to a byte prefix, so hex
+    positions track bytes — pinned here with a seeded multibyte fuzz
+    (planted 'ftyp' fourccs, emoji/CJK/latin-1 mixes, short payloads)."""
+    import random
+
+    import duckdb
+
+    from batch_jaro_winkler_spark.multimodal import (
+        ISO_BMFF_FTYP_HEX,
+        ISO_BMFF_MIME,
+        MAGIC_BYTES,
+        sniff_mime_sql,
+    )
+
+    def spark_semantics(text: str) -> str:
+        head = text.encode("utf-8")[:8].hex().upper()
+        for prefix, mime in MAGIC_BYTES:
+            if head.startswith(prefix.upper()):
+                return mime
+        if head[8:16] == ISO_BMFF_FTYP_HEX.upper():
+            return ISO_BMFF_MIME
+        return "application/octet-stream"
+
+    rng = random.Random(7)
+    con = duckdb.connect()
+    sql = sniff_mime_sql("t")
+    for _ in range(800):
+        chars = []
+        for _ in range(rng.randint(0, 12)):
+            r = rng.random()
+            if r < 0.4:
+                chars.append(chr(rng.randint(32, 126)))
+            elif r < 0.6:
+                chars.append("é")
+            elif r < 0.75:
+                chars.append("中")
+            elif r < 0.85:
+                chars.append(chr(rng.randint(0x1F600, 0x1F64F)))
+            else:
+                chars.append(rng.choice("ftyp"))
+        t = "".join(chars)
+        if rng.random() < 0.3:
+            k = rng.randint(0, len(t))
+            t = t[:k] + "ftyp" + t[k:]
+        got = con.execute(f"SELECT {sql} FROM (SELECT ? AS t)", [t]).fetchone()[0]
+        assert got == spark_semantics(t), (t.encode("utf-8")[:12], got)
+
+
+def test_frame_features_routes_and_soft_fails_per_frame(spark):
+    """frame_features = demux → per-frame sniff → registered decoder: a
+    valid JPEG sample decodes through the real pixel path while a
+    JPEG-magic-but-truncated sibling lands in decode_error WITHOUT
+    dropping the good frame (per-frame soft-fail, job alive)."""
+    import struct
+
+    from batch_jaro_winkler_spark.functions.jpeg import encode_jpeg_baseline
+    from batch_jaro_winkler_spark.multimodal import frame_features
+
+    def box(fourcc: bytes, body: bytes) -> bytes:
+        return struct.pack(">I", 8 + len(body)) + fourcc + body
+
+    good = encode_jpeg_baseline(np.full((8, 16), 77, np.uint8))
+    bad = b"\xff\xd8\xff\xe0broken-not-a-real-jpeg"
+    samples = [good, bad]
+    sizes = [len(s) for s in samples]
+    ftyp = box(b"ftyp", b"isom" + struct.pack(">I", 0x200) + b"isom")
+    mdat = box(b"mdat", b"".join(samples))
+    stsz = box(
+        b"stsz",
+        b"\x00" * 4 + struct.pack(">II", 0, 2)
+        + b"".join(struct.pack(">I", s) for s in sizes),
+    )
+    stsc = box(b"stsc", b"\x00" * 4 + struct.pack(">I", 1) + struct.pack(">III", 1, 2, 1))
+    stco = box(b"stco", b"\x00" * 4 + struct.pack(">I", 1) + struct.pack(">I", len(ftyp) + 8))
+    moov = box(b"moov", box(b"trak", box(b"mdia", box(b"minf", box(b"stbl", stsz + stsc + stco)))))
+    payload = ftyp + mdat + moov
+
+    df = spark.createDataFrame([(1, payload)], "doc_id long, payload binary")
+    rows = {r["frame_no"]: r for r in frame_features(df, every_n=1).collect()}
+    assert set(rows) == {0, 1}
+    ok = rows[0]
+    assert ok["mime"] == "image/jpeg" and ok["decode_error"] is None
+    assert int(ok["features"][0]) == 16 and int(ok["features"][1]) == 8
+    assert round(ok["features"][5] * 255) == 77 == round(ok["features"][6] * 255)
+    failed = rows[1]
+    assert failed["mime"] == "image/jpeg" and failed["features"] is None
+    assert failed["decode_error"]
