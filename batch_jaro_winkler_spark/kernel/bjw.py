@@ -203,6 +203,18 @@ class CandidateModel:
     m2o_rhalf: np.ndarray | None = None
     m2o_grp: np.ndarray | None = None   # group index per occurrence
     m2o_goff: np.ndarray | None = None  # group -> occurrence offset (+1 tail)
+    # first-in-window bucket index over the multi-occurrence occurrences
+    # (_ensure_m3): ((char, rhalf-class, pos) bucket, prev)-packed keys,
+    # ascending.  For a once-occurring input char at i0 the greedy match
+    # "pos in [i0-r, i0+r] and prev < i0-r" becomes, per class h (so r =
+    # max(h, r_in) is bucket-constant), a PREFIX of each in-window bucket
+    # found by binary search — replacing the 7-pass full-char-range
+    # closed-form scan (measured ~36% of min00 collect).  m3_maxp: 0 =
+    # unbuilt, -1 = refused (overflow / class explosion), else pos stride.
+    m3_key: np.ndarray | None = None
+    m3_cand: np.ndarray | None = None
+    m3_hvals: np.ndarray | None = None
+    m3_maxp: int = 0
 
     @property
     def nb_candidates(self) -> int:
@@ -213,10 +225,11 @@ class CandidateModel:
         for f in ("b_key", "b_cand", "b2_key", "b2_cand",
                   "bp_gvals", "bp_goff", "bp_key", "bp_cand",
                   "m2o_char", "m2o_cand", "m2o_pos", "m2o_prev", "m2o_rhalf",
-                  "m2o_grp", "m2o_goff"):
+                  "m2o_grp", "m2o_goff", "m3_key", "m3_cand", "m3_hvals"):
             d[f] = None
         d["b_maxp"] = 0
         d["b2_maxp"] = 0
+        d["m3_maxp"] = 0
         # query-time caches, not dataclass fields
         d.pop("_len_f32", None)
         d.pop("_len_safe", None)
@@ -388,10 +401,54 @@ def _ensure_m2occ(model: CandidateModel) -> None:
         model.m2o_prev = np.empty(0, dtype=np.int32)
 
 
+def _ensure_m3(model: CandidateModel) -> None:
+    """Lazily build the first-in-window bucket index over the
+    multi-occurrence occurrences (see the m3_* field comment).
+
+    Keys pack ((char * NH + class) * P + pos) * (P + 2) + pv where pv = 0
+    for each group's first occurrence (prev = -inf sentinel: it always
+    satisfies prev < i0 - r) and prev + 1 otherwise.  Within a bucket the
+    greedy "first occurrence in window" hits are exactly the keys with
+    pv < max(i0 - r, 0) + 1 — a prefix.  Classes are distinct rhalf
+    values, so r = max(class, r_in) is constant per bucket; long-text
+    models with many classes refuse the build (m3_maxp = -1) and keep the
+    closed-form range scan."""
+    if model.m3_maxp != 0:
+        return
+    _ensure_m2occ(model)
+    if not len(model.m2o_char):
+        model.m3_maxp = -1
+        return
+    hvals = np.unique(model.m2o_rhalf)
+    NH = len(hvals)
+    P = int(model.pos_flat.max()) + 1
+    PP = P + 2
+    maxc = int(model.m2o_char.max())
+    if NH > 64 or (maxc + 1) * NH * P * PP >= (1 << 62):
+        model.m3_maxp = -1
+        return
+    hi = np.searchsorted(hvals, model.m2o_rhalf).astype(np.int64)
+    pv = np.where(
+        model.m2o_prev < 0, np.int64(0), model.m2o_prev.astype(np.int64) + 1
+    )
+    key = (
+        (model.m2o_char.astype(np.int64) * NH + hi) * P + model.m2o_pos
+    ) * PP + pv
+    order = np.argsort(key)
+    model.m3_key = key[order]
+    model.m3_cand = model.m2o_cand[order]
+    model.m3_hvals = hvals.astype(np.int64)
+    model.m3_maxp = P
+
+
 # build the position-bucket index only for models big enough that the
 # per-record window compares it eliminates dominate scan time; below it
 # the per-char emit path is already cheap and the argsort isn't repaid
 _BUCKET_MIN_RECORDS = 32_768
+
+# detail-mode bucketed emission for REPEATED input chars (A/B toggle so
+# interleaved same-process benchmarks can isolate it; see _scan)
+_REP_DETAIL_BUCKETS = True
 
 
 def _ensure_buckets(model: CandidateModel) -> None:
@@ -828,6 +885,65 @@ def _scan(
                         mp_l.append(np.repeat(p_all, sizes).astype(np.int32))
                         mch_l.append(np.repeat(ords, sizes).astype(ord_dtype))
         batched[e_idx] = True
+        # ---- REPEATED input chars, detail mode (round 6): the greedy
+        # match of a single-occurrence group at position p goes to the
+        # FIRST input occurrence I_j inside its window, i.e. to I_j iff
+        # r ∈ [max(|p - I_j|, 0), p - I_{j-1})  — and r(id) is
+        # nondecreasing in id (length ranks), so per (p, j) the matching
+        # ids are ONE contiguous thr_of_d range of each (char, p) bucket.
+        # A few dozen binary-searched slices replace emit_single's full
+        # char-segment passes (the prior detail cost for common repeated
+        # chars like 'e': several passes over ~10^5 records each).
+        if detail and max_len and _REP_DETAIL_BUCKETS:
+            rep = np.flatnonzero(~n1)
+            if len(rep):
+                for ci in rep:
+                    I = order[starts[ci] : ends[ci]].astype(np.int64)
+                    ch_c = np.int64(sorted_chars[starts[ci]])
+                    for j in range(len(I)):
+                        Ij = int(I[j])
+                        plo = max(Ij - r_cap, 0, (int(I[j - 1]) + 1) if j else 0)
+                        phi = min(Ij + r_cap, P - 1)
+                        if phi < plo:
+                            continue
+                        p_arr = np.arange(plo, phi + 1, dtype=np.int64)
+                        d0 = np.abs(p_arr - Ij)
+                        if j:
+                            d1 = np.minimum(p_arr - int(I[j - 1]), r_cap + 1)
+                        else:
+                            d1 = np.full(len(p_arr), r_cap + 1, dtype=np.int64)
+                        keep = d0 < d1
+                        if not keep.any():
+                            continue
+                        p_arr = p_arr[keep]
+                        idlo = thr_of_d[d0[keep]]
+                        idhi = thr_of_d[d1[keep]]
+                        base_r = (ch_c * P + p_arr) * S
+                        for lo, hi_b in id_slices:
+                            if lo >= hi_b:
+                                continue
+                            A = np.searchsorted(
+                                model.b_key, base_r + np.maximum(idlo, lo)
+                            )
+                            B = np.searchsorted(
+                                model.b_key, base_r + np.minimum(idhi, hi_b)
+                            )
+                            sizes = np.maximum(B - A, 0)
+                            tot = int(sizes.sum())
+                            if not tot:
+                                continue
+                            excl = np.zeros(len(sizes), dtype=np.int64)
+                            np.cumsum(sizes[:-1], out=excl[1:])
+                            ridx = np.arange(tot, dtype=np.int64) + np.repeat(
+                                A - excl, sizes
+                            )
+                            mc_l.append(model.b_cand.take(ridx))
+                            mi_l.append(np.full(tot, Ij, dtype=np.int32))
+                            mp_l.append(
+                                np.repeat(p_arr, sizes).astype(np.int32)
+                            )
+                            mch_l.append(np.full(tot, ci, dtype=ord_dtype))
+                batched[rep] = True
     elif full_band and len(starts) > 3:
         nIs = ends - starts
         batched = nIs == 1
@@ -876,6 +992,74 @@ def _scan(
         m2b = np.flatnonzero((ends - starts == 1) & ~m2_done)
         if len(m2b):
             _ensure_m2occ(model)
+            # big tables: the (char, class, pos, prev)-bucketed index
+            # turns each char's emission into ~NH*(2r+1) binary-searched
+            # prefix slices (gathering only actual hits) instead of ~7
+            # full passes over the char's whole occurrence range —
+            # measured ~36% of min00 collect time on the word corpus
+            if len(model.m2o_char) >= _BUCKET_MIN_RECORDS and model.m3_maxp == 0:
+                _ensure_m3(model)
+            if model.m3_maxp > 0:
+                m3k, m3c = model.m3_key, model.m3_cand
+                hv = model.m3_hvals
+                NH = len(hv)
+                P3 = model.m3_maxp
+                PP = P3 + 2
+                Rh = np.maximum(hv, r_in)
+                # sentinel-inclusive prefix bound: pv < max(i0-R, 0) + 1
+                for ci in m2b:
+                    ch3 = int(sorted_chars[starts[ci]])
+                    i0c3 = int(order[starts[ci]])
+                    w0 = np.maximum(i0c3 - Rh, 0)
+                    w1 = np.minimum(i0c3 + Rh, P3 - 1)
+                    wsz3 = np.maximum(w1 - w0 + 1, 0)
+                    tot3 = int(wsz3.sum())
+                    if not tot3:
+                        continue
+                    exw3 = np.zeros(NH, dtype=np.int64)
+                    np.cumsum(wsz3[:-1], out=exw3[1:])
+                    p3 = np.arange(tot3, dtype=np.int64) + np.repeat(
+                        w0 - exw3, wsz3
+                    )
+                    h3 = np.repeat(np.arange(NH, dtype=np.int64), wsz3)
+                    ub3 = np.repeat(np.maximum(i0c3 - Rh, 0) + 1, wsz3)
+                    base3 = ((np.int64(ch3) * NH + h3) * P3 + p3) * PP
+                    A3 = np.searchsorted(m3k, base3)
+                    B3 = np.searchsorted(m3k, base3 + ub3)
+                    sizes3 = B3 - A3
+                    stot = int(sizes3.sum())
+                    if not stot:
+                        continue
+                    exc3 = np.zeros(len(sizes3), dtype=np.int64)
+                    np.cumsum(sizes3[:-1], out=exc3[1:])
+                    ridx3 = np.arange(stot, dtype=np.int64) + np.repeat(
+                        A3 - exc3, sizes3
+                    )
+                    hits_all = m3c.take(ridx3)
+                    pos_all = np.repeat(p3, sizes3).astype(np.int32)
+                    for lo, hi_b in id_slices:
+                        if lo >= hi_b:
+                            continue
+                        if lo <= 0 and hi_b >= n_ids:
+                            hits3, hpos3 = hits_all, pos_all
+                        else:
+                            sel3 = (hits_all >= lo) & (hits_all < hi_b)
+                            hits3 = hits_all[sel3]
+                            hpos3 = pos_all[sel3]
+                        if not len(hits3):
+                            continue
+                        mc_l.append(hits3)
+                        if detail:
+                            mi_l.append(
+                                np.full(len(hits3), i0c3, dtype=np.int32)
+                            )
+                            mp_l.append(hpos3)
+                            mch_l.append(
+                                np.full(len(hits3), ci, dtype=ord_dtype)
+                            )
+                m2_done[m2b] = True
+        m2b = np.flatnonzero((ends - starts == 1) & ~m2_done)
+        if len(m2b):
             mo_char, mo_cand = model.m2o_char, model.m2o_cand
             mo_pos, mo_prev = model.m2o_pos, model.m2o_prev
             mo_rhalf = model.m2o_rhalf

@@ -118,3 +118,7 @@ def test_bucketed_scan_matches_unbucketed(mode, monkeypatch):
     assert bucketed.b_maxp > 0
     if mode != "detail":  # b2/bp are counts-mode-only indexes
         assert bucketed.b2_maxp == bucketed.b_maxp
+    if mode == "detail":
+        # the detail full-emission pass must have engaged the m3
+        # first-in-window index (round 6), not the closed-form range scan
+        assert bucketed.m3_maxp > 0
