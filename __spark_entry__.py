@@ -28,6 +28,22 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _wide(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Scan-parallelism guard (optimization guide §2.5, input skew): the
+    test tables arrive as one parquet file, often a single row group, so
+    the scan is ONE split and every narrow stage above it (normalize,
+    mapInPandas hashing, per-element cosine) serializes on one core.
+    Round-robin repartition to cluster width when the source is narrower;
+    row-wise results are unchanged, and on a production multi-file source
+    this is a no-op.  Only applied to queries whose output is provably
+    partitioning-independent (aggregates / joins / full-ranking windows
+    with value+id orderings — never a truncating per-batch top-k)."""
+    parallelism = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
+
+
 _JW_PROBE_N = 20       # probes for jw_topk (doc_id < N)
 _JW_PREFIX = 48        # normalized-prefix length scored by jw_topk
 _JWP_N = 120           # docs in the jw_pairs cross set
@@ -284,17 +300,25 @@ def _jw_topk(spark, sf_dir):
 
     from batch_jaro_winkler_spark.operators.score_pairs import score_topk
 
+    # _wide on the CANDIDATE branch only: it parallelizes the JVM
+    # normalize projection and the kernel scan (one task before), and
+    # k=None ("all matches >= min_score") makes the emitted pair set
+    # partitioning-independent by construction — no per-batch top-k
+    # truncation exists, and the final rank is a deterministic (rounded
+    # score, cand_id) window here.  The probe branch stays on the raw
+    # scan so the doc_id < N predicate pushes down to parquet instead of
+    # riding through a full-corpus shuffle.
     docs = _t(spark, sf_dir, "documents")
     probes = docs.where(F.col("doc_id") < _JW_PROBE_N).select(
         F.col("doc_id").alias("probe_id"),
         _norm_prefix(F.col("text"), _JW_PREFIX).alias("probe_text"),
     )
-    cands = docs.select(
+    cands = _wide(spark, docs).select(
         F.col("doc_id").alias("cand_id"),
         _norm_prefix(F.col("text"), _JW_PREFIX).alias("cand_text"),
     )
     scored = score_topk(
-        probes, cands, k=500000, weight=0.1, threshold=0.7,
+        probes, cands, k=None, weight=0.1, threshold=0.7,
         min_score=0.5, dtype=np.float64,
     ).select("probe_id", "cand_id", F.round("score", 4).alias("score_r"))
     w = Window.partitionBy("probe_id").orderBy(F.desc("score_r"), F.asc("cand_id"))
@@ -351,8 +375,11 @@ def _jw_pairs(spark, sf_dir):
         F.col("doc_id").alias("cand_id"),
         _norm_prefix(F.col("text"), _JWP_PREFIX).alias("cand_text"),
     )
+    # k=None: the thresholded pair relation needs no ranking — the old
+    # k=500000 paid a full window sort for a rank filter that kept
+    # every row (optimization round 7)
     scored = score_topk(
-        probes, cands, k=500000, weight=None, threshold=None,
+        probes, cands, k=None, weight=None, threshold=None,
         min_score=0.75, dtype=np.float64,
     )
     return (
@@ -366,7 +393,9 @@ def _jw_pairs(spark, sf_dir):
 
 
 def _ann_cosine_topk(spark, sf_dir):
-    emb = _t(spark, sf_dir, "embeddings")
+    # _wide: the per-element cosine runs on the scan's partitioning (the
+    # window exchange comes after it) — one split serializes all of it
+    emb = _wide(spark, _t(spark, sf_dir, "embeddings"))
     probes = emb.where(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("probe_id"), F.col("embedding").alias("probe_vec")
     )
@@ -673,7 +702,10 @@ def _pipeline_lsh_pairs(spark, sf_dir):
     from batch_jaro_winkler_spark.operators.lsh import band_buckets, candidate_pairs
     from batch_jaro_winkler_spark.operators.signatures import compute_signatures
 
-    docs = _t(spark, sf_dir, "documents")
+    # _wide BEFORE compute_signatures: the operator itself stays a shuffle-
+    # free narrow map (plan-gated); the DedupPipeline repartitions the same
+    # way before calling it
+    docs = _wide(spark, _t(spark, sf_dir, "documents"))
     cfg = DedupConfig()
     sig = compute_signatures(docs, cfg, "doc_id", "text")
     return candidate_pairs(band_buckets(sig), cfg).select("a", "b", "n_bands")
@@ -685,7 +717,7 @@ def _pipeline_simhash_pairs(spark, sf_dir):
     from batch_jaro_winkler_spark.operators.signatures import compute_signatures
     from batch_jaro_winkler_spark.operators.simhash import simhash_pairs
 
-    docs = _t(spark, sf_dir, "documents")
+    docs = _wide(spark, _t(spark, sf_dir, "documents"))
     sig = compute_signatures(docs, DedupConfig(), "doc_id", "text")
     return simhash_pairs(sig.select("doc_id", "simhash"), max_hamming=3)
 

@@ -18,7 +18,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-from batch_jaro_winkler_spark.functions.vectors import cosine
+from batch_jaro_winkler_spark.functions.vectors import cosine, dot, l2_norm
 
 __all__ = [
     "cosine_topk_bruteforce",
@@ -26,8 +26,23 @@ __all__ = [
     "cosine_topk_lsh",
     "embedding_dup_pairs_lsh",
     "hyperplane_buckets",
+    "bucket_key_arrays",
     "ivf_assign",
 ]
+
+
+def _widen(df: DataFrame, src: DataFrame) -> DataFrame:
+    """Input-parallelism guard (optimization guide §2.5, input skew): a
+    single parquet file / row group arrives as ONE scan split, serializing
+    every narrow map downstream on one core.  Round-robin repartition to
+    cluster width when the source is narrower; at web scale the source is
+    already thousands of partitions and this is a no-op."""
+    if src.isStreaming:
+        return df
+    parallelism = src.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < parallelism:
+        return df.repartition(parallelism)
+    return df
 
 
 def cosine_topk_bruteforce(
@@ -92,6 +107,45 @@ def hyperplane_buckets(
     return df.mapInPandas(bucketize, schema=schema)
 
 
+def bucket_key_arrays(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 12,
+    n_tables: int = 4,
+    seed: int = 42,
+    out_col: str = "buckets",
+) -> DataFrame:
+    """→ (id_col, out_col array<long> of length ``n_tables``): the same
+    per-table hyperplane bucket keys as :func:`hyperplane_buckets` (same
+    planes RNG, same per-table ``mat @ planes[t].T`` sign computation —
+    bit-identical keys), but WITHOUT the n_tables× row expansion: each
+    vector crosses the Arrow boundary once and never leaves Python, so the
+    n_tables memberships cost one small array column instead of n_tables
+    copies of the embedding (guide §2.3: shuffle keys, not payloads)."""
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim)).astype(np.float32)
+    weights = (np.uint64(1) << np.arange(n_planes, dtype=np.uint64))
+
+    def keys(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:  # np.stack raises on an empty Arrow batch
+                continue
+            mat = np.stack(pdf[vec_col].to_numpy())  # (n, dim)
+            cols = np.empty((len(pdf), n_tables), dtype=np.int64)
+            for t in range(n_tables):
+                signs = (mat @ planes[t].T) > 0  # (n, n_planes)
+                cols[:, t] = (
+                    (signs.astype(np.uint64) * weights).sum(axis=1).view(np.int64)
+                )
+            yield pd.DataFrame({id_col: pdf[id_col], out_col: list(cols)})
+
+    return df.select(id_col, vec_col).mapInPandas(
+        keys, schema=f"{id_col} long, {out_col} array<long>"
+    )
+
+
 def embedding_dup_pairs_lsh(
     corpus: DataFrame,
     threshold: float,
@@ -117,36 +171,63 @@ def embedding_dup_pairs_lsh(
     planes trade recall at LOW thresholds for bounded join work; in the
     true near-dup regime (cos ≥ 0.9) recall stays high (see the pytest
     gate).  ``bucket_cap`` drops runaway buckets (duplicate-constant
-    embeddings) instead of letting one key quadratically dominate."""
+    embeddings) instead of letting one key quadratically dominate.
+
+    Plan shape (optimization round 7, guide §2.3/§8 "shuffle keys, not
+    payloads"): bucket memberships are (id, table, bucket) rows from ONE
+    array-typed mapInPandas pass — the embedding itself never enters the
+    pair-generation joins or the cross-table dedup, which previously
+    shuffled and sort-aggregated two 64-float vectors per candidate pair.
+    Vectors are re-attached per UNIQUE surviving pair by two equi-joins
+    against the corpus (Catalyst broadcasts the corpus side when small),
+    and the L2 norms are computed once per vector instead of once per
+    pair — bit-identical cosine (same dot / norm expression trees)."""
     if n_planes is None:
         import math
 
         n = corpus.count()
         n_planes = min(24, max(4, math.ceil(math.log2(max(n, 1) / target_bucket + 1))))
-    b = hyperplane_buckets(
-        corpus.select(vec_id, vec), vec, dim, n_planes, n_tables, seed
+    src = _widen(corpus.select(vec_id, vec), corpus)
+    # memberships: ids + bucket keys only, lazily checkpointed so the
+    # sizes aggregate and the self-join share ONE bucketize pass instead
+    # of recomputing the Python stage per consumer (4 scans before)
+    m = (
+        bucket_key_arrays(src, vec_id, vec, dim, n_planes, n_tables, seed)
+        .select(vec_id, F.posexplode("buckets").alias("table_id", "bucket"))
+        .localCheckpoint(eager=False)
     )
-    sizes = b.groupBy("table_id", "bucket").agg(F.count(F.lit(1)).alias("bsz"))
-    keyed = b.join(
-        sizes.where((F.col("bsz") > 1) & (F.col("bsz") <= bucket_cap)),
-        ["table_id", "bucket"],
-        "left_semi",
+    sizes = (
+        m.groupBy("table_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("bsz"))
+        .where((F.col("bsz") > 1) & (F.col("bsz") <= bucket_cap))
     )
-    left = keyed.select(
-        "table_id", "bucket", F.col(vec_id).alias("a"), F.col(vec).alias("va")
-    )
-    right = keyed.select(
-        "table_id", "bucket", F.col(vec_id).alias("b"), F.col(vec).alias("vb")
-    )
+    keyed = m.join(sizes, ["table_id", "bucket"], "left_semi")
+    left = keyed.select("table_id", "bucket", F.col(vec_id).alias("a"))
+    right = keyed.select("table_id", "bucket", F.col(vec_id).alias("b"))
     cand = (
         left.join(right, ["table_id", "bucket"])
         .where(F.col("a") < F.col("b"))
-        .select("a", "b", "va", "vb")
-        .dropDuplicates(["a", "b"])  # dedupe across tables BEFORE scoring
+        .select("a", "b")
+        .dropDuplicates(["a", "b"])  # dedupe ACROSS tables: 16-byte rows
     )
-    return cand.select(
-        "a", "b", cosine(F.col("va"), F.col("vb")).alias("cos")
-    ).where(F.col("cos") >= threshold)
+    va = corpus.select(
+        F.col(vec_id).alias("a"),
+        F.col(vec).alias("va"),
+        l2_norm(F.col(vec)).alias("na"),
+    )
+    vb = corpus.select(
+        F.col(vec_id).alias("b"),
+        F.col(vec).alias("vb"),
+        l2_norm(F.col(vec)).alias("nb"),
+    )
+    den = F.col("na") * F.col("nb")
+    cos = F.when(den > 0, dot(F.col("va"), F.col("vb")) / den).otherwise(F.lit(0.0))
+    return (
+        cand.join(va, "a")
+        .join(vb, "b")
+        .select("a", "b", cos.alias("cos"))
+        .where(F.col("cos") >= threshold)
+    )
 
 
 def ivf_assign(
@@ -221,7 +302,7 @@ def cosine_topk_ivf(
             "the probe side is broadcast — for probe sets this large, "
             "bucket both sides (cosine_topk_lsh) instead"
         )
-    cb = ivf_assign(corpus.select(vec_id, vec), vec, cents, n_probe=1)
+    cb = ivf_assign(_widen(corpus.select(vec_id, vec), corpus), vec, cents, n_probe=1)
     pb = ivf_assign(probes.select(probe_id, probe_vec), probe_vec, cents, n_probe=n_probe)
     cand = (
         cb.join(F.broadcast(pb), "cell")

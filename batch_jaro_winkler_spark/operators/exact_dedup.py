@@ -7,7 +7,7 @@ of (hash, doc_id) pairs only — the text column never moves.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 __all__ = ["exact_dedup", "exact_dup_groups"]
 
@@ -20,12 +20,20 @@ def exact_dup_groups(
 
     sha2-256 (not xxhash64) for the *grouping* hash so a 100 TB corpus can't
     produce a false-merge collision; xxhash64 is fine for shuffles, not for
-    dedup-by-hash correctness."""
+    dedup-by-hash correctness.
+
+    One window over text_hash instead of groupBy + self-join (optimization
+    round 7, guide §2.4): the join form scanned + sha-hashed the corpus
+    twice and shuffled twice (agg + join); the window form is one scan and
+    one exchange — at 100 TB the old join's reps side outgrows broadcast
+    and degrades to a second full sort-merge shuffle."""
     hashed = docs.select(
         F.col(id_col).alias("doc_id"), F.sha2(F.col(text_col), 256).alias("text_hash")
     )
-    reps = hashed.groupBy("text_hash").agg(F.min("doc_id").alias("rep_id"))
-    return hashed.join(reps, "text_hash").select("doc_id", "rep_id", "text_hash")
+    w = Window.partitionBy("text_hash")
+    return hashed.select(
+        "doc_id", F.min("doc_id").over(w).alias("rep_id"), "text_hash"
+    )
 
 
 def exact_dedup(

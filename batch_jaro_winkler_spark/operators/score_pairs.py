@@ -67,50 +67,89 @@ def verify_pairs(
     weight = cfg.jw_weight
     threshold = cfg.jw_threshold
 
-    # No shuffle: each Arrow batch is grouped locally by the left text, one
-    # compiled kernel model per local group.  Pairs are independent, so any
-    # physical distribution is correct — grouping only amortizes the model.
+    # No shuffle: pairs are grouped locally by the left text, one compiled
+    # kernel model per local group.  Pairs are independent, so any physical
+    # distribution is correct — grouping only amortizes the model.
     # groups below this size use the scalar pair scorer — the vectorized
     # kernel's per-char numpy ops only pay off with enough candidates
     batch_cutover = 8
+    # Optimization round 7 (guide §4.5 analog): coalesce the partition's
+    # Arrow batches before scoring, so (1) a text_a whose pairs straddle
+    # batch boundaries is grouped ONCE, and (2) the distinct-text-pair
+    # memo below sees the whole partition.  Bounded so per-task memory
+    # stays ~tens of MB at 256-char texts.
+    coalesce_rows = 100_000
+
+    def _score_pdf(pdf: pd.DataFrame) -> pd.DataFrame | None:
+        # a dedup corpus scores many IDENTICAL (text_a, text_b) pairs
+        # (exact-duplicate groups explode into cliques): the score is a
+        # pure function of the texts, so score each distinct text pair
+        # once and fan results back out — row-identical output
+        # length-prefixed key is injective on (text_a, text_b) — no
+        # separator-collision assumption about the text alphabet
+        codes, _ = pd.factorize(
+            pdf["text_a"].str.len().astype(str) + ":" + pdf["text_a"] + pdf["text_b"],
+            sort=False,
+        )
+        n_distinct = int(codes.max()) + 1 if len(codes) else 0
+        first = np.zeros(n_distinct, dtype=np.int64)
+        first[codes[::-1]] = np.arange(len(codes) - 1, -1, -1, dtype=np.int64)
+        distinct = pdf.iloc[first].reset_index(drop=True)
+        # kernel-side min_score pruning stays on: non-survivors keep the
+        # below-threshold sentinel and are filtered with their clones
+        ds = np.full(n_distinct, -1.0, dtype=np.float32)
+        for inp, grp in distinct.groupby("text_a", sort=False):
+            gpos = grp.index.to_numpy(np.int64)  # positions in `distinct`
+            if len(grp) < batch_cutover:
+                ds[gpos] = np.fromiter(
+                    (
+                        score_pair(inp, tb, weight=weight, threshold=threshold)
+                        for tb in grp["text_b"]
+                    ),
+                    dtype=np.float32,
+                    count=len(grp),
+                )
+            else:
+                model = build_model(grp["text_b"].tolist())
+                idx, sc = score(
+                    model, inp, min_score=min_score, weight=weight, threshold=threshold
+                )
+                if len(idx):
+                    ds[gpos[np.asarray(idx, dtype=np.int64)]] = sc
+        full = ds[codes]
+        keep = full >= np.float32(min_score)
+        if not keep.any():
+            return None
+        sel = np.flatnonzero(keep)
+        return pd.DataFrame(
+            {
+                "a": pdf["a"].to_numpy(np.int64)[sel],
+                "b": pdf["b"].to_numpy(np.int64)[sel],
+                "score": full[sel],
+            }
+        )
 
     def score_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pending: list[pd.DataFrame] = []
+        n_pending = 0
         for pdf in batches:
-            out_a, out_b, out_s = [], [], []
-            for inp, grp in pdf.groupby("text_a", sort=False):
-                if len(grp) < batch_cutover:
-                    ss = np.fromiter(
-                        (
-                            score_pair(inp, tb, weight=weight, threshold=threshold)
-                            for tb in grp["text_b"]
-                        ),
-                        dtype=np.float32,
-                        count=len(grp),
-                    )
-                    keep = ss >= np.float32(min_score)
-                    if not keep.any():
-                        continue
-                    rows = grp.iloc[np.flatnonzero(keep)]
-                    sc = ss[keep]
-                else:
-                    model = build_model(grp["text_b"].tolist())
-                    idx, sc = score(
-                        model, inp, min_score=min_score, weight=weight, threshold=threshold
-                    )
-                    if len(idx) == 0:
-                        continue
-                    rows = grp.iloc[np.asarray(idx, dtype=np.int64)]
-                out_a.append(rows["a"].to_numpy(np.int64))
-                out_b.append(rows["b"].to_numpy(np.int64))
-                out_s.append(np.asarray(sc, dtype=np.float32))
-            if out_a:
-                yield pd.DataFrame(
-                    {
-                        "a": np.concatenate(out_a),
-                        "b": np.concatenate(out_b),
-                        "score": np.concatenate(out_s),
-                    }
+            pending.append(pdf)
+            n_pending += len(pdf)
+            if n_pending >= coalesce_rows:
+                out = _score_pdf(
+                    pending[0] if len(pending) == 1 else
+                    pd.concat(pending, ignore_index=True)
                 )
+                if out is not None:
+                    yield out
+                pending, n_pending = [], 0
+        if pending:
+            out = _score_pdf(
+                pending[0] if len(pending) == 1 else
+                pd.concat(pending, ignore_index=True)
+            )
+            if out is not None:
+                yield out
 
     return joined.select("a", "b", "text_a", "text_b").mapInPandas(
         score_batches, schema="a long, b long, score float"
@@ -120,7 +159,7 @@ def verify_pairs(
 def score_topk(
     probes: DataFrame,
     candidates: DataFrame,
-    k: int,
+    k: int | None,
     *,
     min_score: float | None = None,
     weight: float | None = 0.1,
@@ -144,7 +183,15 @@ def score_topk(
     closure — correct only for genuinely small probe sets, so the size is
     guarded by ``max_probes`` (error, not silent collect-the-world).  A
     probe set too large to broadcast is a pair-scoring problem: route it
-    through :func:`verify_pairs` on LSH candidates instead."""
+    through :func:`verify_pairs` on LSH candidates instead.
+
+    ``k=None`` — "all matches" mode (optimization round 7): emit every
+    candidate passing ``min_score`` with NO ranking.  Callers that only
+    want the thresholded pair relation (jw_topk's k=500000, jw_pairs)
+    previously paid a full window sort of every scored row for a rank
+    filter that could never drop anything; with ``k=None`` the kernel
+    skips the n_best ladder (plain scan at min_score — same scores) and
+    the window exchange+sort disappears from the plan."""
     # one job: the guard reads at most max_probes+1 rows of the same
     # collect the happy path needs anyway (no separate count over the
     # probe lineage)
@@ -198,6 +245,8 @@ def score_topk(
     partial = candidates.select(cand_id, cand_text).mapInPandas(
         per_batch, schema="probe_id long, cand_id long, score double"
     )
+    if k is None:
+        return partial
     w = Window.partitionBy("probe_id").orderBy(
         F.desc("score"), F.asc("cand_id")
     )
