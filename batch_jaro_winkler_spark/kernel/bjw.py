@@ -676,6 +676,20 @@ def _scan(
     starts = np.flatnonzero(newc)
     ends = np.append(starts[1:], input_len)
 
+    # Input chars above the model's max indexed code point cannot match
+    # anything, and — worse — the packed bucket-key builders (_ensure_m3,
+    # _ensure_buckets, _ensure_buckets2) size their int64-overflow guards
+    # by the MODEL's max char, so packing a larger query-time code could
+    # wrap the key and land binary searches on unrelated buckets (ADVICE
+    # r6).  Drop those distinct-char groups before any key is packed;
+    # group_char is (char, cand)-sorted, so [-1] is the model max.
+    if len(starts):
+        over = sorted_chars[starts] > model.group_char[-1]
+        if over.any():
+            keep = ~over
+            starts = starts[keep]
+            ends = ends[keep]
+
     # match records carry the char's ORDINAL among the input's distinct
     # chars, not the code point: transpositions only ever compare chars
     # for equality, and small ordinals let the dense-rank path work in

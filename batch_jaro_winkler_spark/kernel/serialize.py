@@ -68,17 +68,33 @@ def model_to_bytes(model: CandidateModel) -> bytes:
         struct.pack("<Q", model.nb_candidates),
     ]
 
-    def emit(arr: np.ndarray, dtype: str) -> None:
-        flat = np.ascontiguousarray(arr, dtype=dtype).reshape(-1)
+    def emit(name: str, arr: np.ndarray, dtype: str) -> None:
+        src = np.asarray(arr)
+        dt = np.dtype(dtype)
+        # range-check before narrowing casts (ADVICE r6): build_model keeps
+        # group_start/group_end int64, and a model with >= 2^31 total
+        # occurrences would silently wrap through the <i4 cast into a
+        # corrupt blob that parses cleanly
+        if (
+            src.size
+            and np.issubdtype(dt, np.integer)
+            and np.issubdtype(src.dtype, np.integer)
+        ):
+            info = np.iinfo(dt)
+            if int(src.min()) < info.min or int(src.max()) > info.max:
+                raise ValueError(
+                    f"model field {name} exceeds the serialized {dtype} range"
+                )
+        flat = np.ascontiguousarray(src, dtype=dtype).reshape(-1)
         parts.append(struct.pack("<Q", flat.size))
         parts.append(flat.tobytes())
 
     for name, dtype in _FIELDS:
-        emit(getattr(model, name), dtype)
+        emit(name, getattr(model, name), dtype)
     if flags & _FLAG_MIN_SCORES:
-        emit(model.min_scores, "<f4")
+        emit("min_scores", model.min_scores, "<f4")
     if flags & _FLAG_ORIG_IDS:
-        emit(model.orig_ids, "<i8")
+        emit("orig_ids", model.orig_ids, "<i8")
     return b"".join(parts)
 
 
@@ -136,6 +152,11 @@ def model_from_bytes(blob: bytes) -> CandidateModel:
         _fail("codes size")
     if n and not np.array_equal(np.diff(offsets), lengths):
         _fail("lengths inconsistent with offsets")
+    # internal ids are LENGTH RANKS (thr_of_d's searchsorted and all id-band
+    # slicing assume it): a tampered blob with unsorted lengths would pass
+    # the structural checks and silently yield wrong scores (ADVICE r6)
+    if n > 1 and np.any(np.diff(lengths) < 0):
+        _fail("lengths not ascending (ids must be length ranks)")
     g = len(fields["group_char"])
     for nm in ("group_cand", "group_start", "group_end"):
         if len(fields[nm]) != g:
@@ -149,6 +170,15 @@ def model_from_bytes(blob: bytes) -> CandidateModel:
         pf = fields["pos_flat"]
         if len(pf) and (pf.min() < 0 or (n and pf.max() >= lengths.max(initial=0))):
             _fail("pos_flat out of range")
+        # occurrence positions must ascend strictly within each group (the
+        # m2o prev derivation and the in-window contiguity arguments assume
+        # it): every position that is not a group start must exceed its
+        # predecessor (ADVICE r6)
+        if len(pf) > 1:
+            interior = np.ones(len(pf), dtype=bool)
+            interior[gs[gs < len(pf)]] = False
+            if np.any((np.diff(pf.astype(np.int64)) <= 0) & interior[1:]):
+                _fail("pos_flat not ascending within a group")
     if len(fields["first4"]) != n * 4:
         _fail("first4 size")
     if min_scores is not None and len(min_scores) != n:

@@ -71,7 +71,9 @@ class DedupPipeline:
         self.cfg = cfg
         self.catalog = Catalog(spark, checkpoint_root)
         self.metrics: list[StageResult] = []
-        self._pending: list[tuple[str, threading.Thread]] = []
+        self._pending: list[
+            tuple[str, threading.Thread, dict[str, BaseException]]
+        ] = []
 
     def _stage(self, name: str, compute, overlap_write: bool = True) -> DataFrame:
         """Run (or resume) one checkpointed stage.
