@@ -331,7 +331,11 @@ def _jw_topk(spark, sf_dir):
 def _jw_topk10(spark, sf_dir):
     """Small-k twin of jw_topk (VERDICT_r2 #10): k=10 exercises the
     reference's adaptive n_best min_score LADDER inside the kernel
-    (c:788-816 — jw_topk's k=500000 deliberately bypasses it).  Ranking
+    (c:788-816 — jw_topk's k=None all-matches mode deliberately bypasses
+    it, and k=10 must NOT be parallelized with _wide: the kernel's
+    per-batch top-k tie-break is batch-position order, so per-partition
+    truncation under an arbitrary row distribution could drop a tied
+    candidate the global (score, cand_id) rank would keep).  Ranking
     by RAW float64 score is hash-safe: the kernel is bit-identical to
     DuckDB's jaro_winkler_similarity (0 diffs over 10k sf0.01 pairs),
     and ties break on cand_id identically on both engines."""
