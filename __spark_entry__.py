@@ -38,10 +38,9 @@ def _wide(spark: SparkSession, df: DataFrame) -> DataFrame:
     this is a no-op.  Only applied to queries whose output is provably
     partitioning-independent (aggregates / joins / full-ranking windows
     with value+id orderings — never a truncating per-batch top-k)."""
-    parallelism = spark.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        return df.repartition(parallelism)
-    return df
+    from batch_jaro_winkler_spark.operators.partitioning import widen_scan
+
+    return widen_scan(df)
 
 
 _JW_PROBE_N = 20       # probes for jw_topk (doc_id < N)

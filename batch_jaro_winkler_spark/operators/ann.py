@@ -19,6 +19,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
 from batch_jaro_winkler_spark.functions.vectors import cosine, dot, l2_norm
+from batch_jaro_winkler_spark.operators.partitioning import widen_scan
 
 __all__ = [
     "cosine_topk_bruteforce",
@@ -29,20 +30,6 @@ __all__ = [
     "bucket_key_arrays",
     "ivf_assign",
 ]
-
-
-def _widen(df: DataFrame, src: DataFrame) -> DataFrame:
-    """Input-parallelism guard (optimization guide §2.5, input skew): a
-    single parquet file / row group arrives as ONE scan split, serializing
-    every narrow map downstream on one core.  Round-robin repartition to
-    cluster width when the source is narrower; at web scale the source is
-    already thousands of partitions and this is a no-op."""
-    if src.isStreaming:
-        return df
-    parallelism = src.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < parallelism:
-        return df.repartition(parallelism)
-    return df
 
 
 def cosine_topk_bruteforce(
@@ -141,8 +128,10 @@ def bucket_key_arrays(
                 )
             yield pd.DataFrame({id_col: pdf[id_col], out_col: list(cols)})
 
+    # preserve the caller's id type (hyperplane_buckets was type-agnostic)
+    id_type = df.schema[id_col].dataType.simpleString()
     return df.select(id_col, vec_col).mapInPandas(
-        keys, schema=f"{id_col} long, {out_col} array<long>"
+        keys, schema=f"{id_col} {id_type}, {out_col} array<long>"
     )
 
 
@@ -187,7 +176,7 @@ def embedding_dup_pairs_lsh(
 
         n = corpus.count()
         n_planes = min(24, max(4, math.ceil(math.log2(max(n, 1) / target_bucket + 1))))
-    src = _widen(corpus.select(vec_id, vec), corpus)
+    src = widen_scan(corpus.select(vec_id, vec))
     # memberships: ids + bucket keys only, lazily checkpointed so the
     # sizes aggregate and the self-join share ONE bucketize pass instead
     # of recomputing the Python stage per consumer (4 scans before)
@@ -302,7 +291,7 @@ def cosine_topk_ivf(
             "the probe side is broadcast — for probe sets this large, "
             "bucket both sides (cosine_topk_lsh) instead"
         )
-    cb = ivf_assign(_widen(corpus.select(vec_id, vec), corpus), vec, cents, n_probe=1)
+    cb = ivf_assign(widen_scan(corpus.select(vec_id, vec)), vec, cents, n_probe=1)
     pb = ivf_assign(probes.select(probe_id, probe_vec), probe_vec, cents, n_probe=n_probe)
     cand = (
         cb.join(F.broadcast(pb), "cell")

@@ -85,6 +85,13 @@ def verify_pairs(
         # (exact-duplicate groups explode into cliques): the score is a
         # pure function of the texts, so score each distinct text pair
         # once and fan results back out — row-identical output
+        # null text matches nothing: drop such pairs up front — a NaN key
+        # would factorize to code -1 and corrupt the last distinct slot
+        valid = pdf["text_a"].notna() & pdf["text_b"].notna()
+        if not valid.all():
+            pdf = pdf[valid].reset_index(drop=True)
+        if not len(pdf):
+            return None
         # length-prefixed key is injective on (text_a, text_b) — no
         # separator-collision assumption about the text alphabet
         codes, _ = pd.factorize(

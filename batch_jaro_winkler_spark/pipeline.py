@@ -175,9 +175,9 @@ class DedupPipeline:
         # fan the map stages out to cluster width: small local inputs arrive
         # as one split; at web scale the source is already thousands of
         # partitions and this coalesces nothing (cheap round-robin shuffle)
-        parallelism = self.spark.sparkContext.defaultParallelism
-        if docs.rdd.getNumPartitions() < parallelism:
-            docs = docs.repartition(parallelism)
+        from batch_jaro_winkler_spark.operators.partitioning import widen_scan
+
+        docs = widen_scan(docs)
 
         # normalization is FUSED into the signatures stage (include_norm):
         # a separate normalize checkpoint cost a full write→read barrier
@@ -326,9 +326,9 @@ class DedupPipeline:
         )
         # drop docs already folded in (rerun-after-crash / double submit)
         new_docs = new_docs.join(old_sigs.select("doc_id"), "doc_id", "left_anti")
-        parallelism = self.spark.sparkContext.defaultParallelism
-        if new_docs.rdd.getNumPartitions() < parallelism:
-            new_docs = new_docs.repartition(parallelism)
+        from batch_jaro_winkler_spark.operators.partitioning import widen_scan
+
+        new_docs = widen_scan(new_docs)
 
         # increment-specific stage names: a second increment must not reuse
         # the previous increment's checkpoints (config hash alone cannot

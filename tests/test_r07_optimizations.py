@@ -188,6 +188,30 @@ def test_verify_pairs_memoizes_identical_text_pairs(spark):
     assert all(k[0] != 20 or k[1] <= 40 for k in got)
 
 
+def test_verify_pairs_null_text_dropped_without_corruption(spark):
+    """A NaN memo key would factorize to -1 and clobber the LAST distinct
+    slot: pairs touching a null-text doc must be dropped, and every other
+    pair — especially the last distinct text pair — must keep its score."""
+    from batch_jaro_winkler_spark.operators.config import DedupConfig
+    from batch_jaro_winkler_spark.operators.score_pairs import verify_pairs
+
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "alpha beta gamma delta"),
+         (2, None), (3, "zeta eta theta iota"), (4, "zeta eta theta iota")],
+        "doc_id long, jw_text string",
+    )
+    pairs = spark.createDataFrame(
+        [(0, 1), (0, 2), (2, 3), (3, 4)], "a long, b long"
+    )
+    got = {
+        (r["a"], r["b"]): r["score"]
+        for r in verify_pairs(pairs, docs, DedupConfig(), "doc_id", "jw_text").collect()
+    }
+    assert got[(0, 1)] == pytest.approx(1.0)
+    assert got[(3, 4)] == pytest.approx(1.0)  # the last distinct slot
+    assert (0, 2) not in got and (2, 3) not in got
+
+
 def test_exact_dup_groups_window_form(spark):
     from batch_jaro_winkler_spark.operators.exact_dedup import exact_dup_groups
 
