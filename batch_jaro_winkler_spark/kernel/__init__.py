@@ -3,6 +3,7 @@ from batch_jaro_winkler_spark.kernel.bjw import (
     build_model,
     score,
     score_pair,
+    score_pair_batch,
     score_strings,
     units_from_bytes,
 )
@@ -12,6 +13,7 @@ __all__ = [
     "build_model",
     "score",
     "score_pair",
+    "score_pair_batch",
     "score_strings",
     "units_from_bytes",
 ]

@@ -30,7 +30,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F
 
-from batch_jaro_winkler_spark.kernel import build_model, score, score_pair
+from batch_jaro_winkler_spark.kernel import build_model, score, score_pair_batch
 from batch_jaro_winkler_spark.operators.config import DedupConfig
 
 __all__ = ["verify_pairs", "score_topk"]
@@ -92,11 +92,14 @@ def verify_pairs(
             pdf = pdf[valid].reset_index(drop=True)
         if not len(pdf):
             return None
-        # length-prefixed key is injective on (text_a, text_b) — no
-        # separator-collision assumption about the text alphabet
+        # injective pair key with NO string concatenation (optimization
+        # round 7): factorize each text column once (hashes the original
+        # strings in place), then factorize the combined int code —
+        # (code_a, code_b) identifies the text pair exactly
+        ca, _ = pd.factorize(pdf["text_a"], sort=False)
+        cb, _ = pd.factorize(pdf["text_b"], sort=False)
         codes, _ = pd.factorize(
-            pdf["text_a"].str.len().astype(str) + ":" + pdf["text_a"] + pdf["text_b"],
-            sort=False,
+            ca.astype(np.int64) * (int(cb.max()) + 1) + cb, sort=False
         )
         n_distinct = int(codes.max()) + 1 if len(codes) else 0
         first = np.zeros(n_distinct, dtype=np.int64)
@@ -105,18 +108,24 @@ def verify_pairs(
         # kernel-side min_score pruning stays on: non-survivors keep the
         # below-threshold sentinel and are filtered with their clones
         ds = np.full(n_distinct, -1.0, dtype=np.float32)
-        for inp, grp in distinct.groupby("text_a", sort=False):
-            gpos = grp.index.to_numpy(np.int64)  # positions in `distinct`
-            if len(grp) < batch_cutover:
-                ds[gpos] = np.fromiter(
-                    (
-                        score_pair(inp, tb, weight=weight, threshold=threshold)
-                        for tb in grp["text_b"]
-                    ),
-                    dtype=np.float32,
-                    count=len(grp),
-                )
-            else:
+        # groups below the cutover go through the vectorized PAIRWISE
+        # kernel in ONE call (optimization round 7): no per-group pandas
+        # iteration, no per-pair interpreter loop.  Groups at/above the
+        # cutover amortize a compiled model + kernel-side min_score
+        # pruning instead.
+        gsz = distinct.groupby("text_a", sort=False)["text_b"].transform("size")
+        small = (gsz < batch_cutover).to_numpy()
+        if small.any():
+            spos = np.flatnonzero(small)
+            ds[spos] = score_pair_batch(
+                distinct["text_a"].iloc[spos].tolist(),
+                distinct["text_b"].iloc[spos].tolist(),
+                weight=weight,
+                threshold=threshold,
+            )
+        if not small.all():
+            for inp, grp in distinct[~small].groupby("text_a", sort=False):
+                gpos = grp.index.to_numpy(np.int64)  # positions in `distinct`
                 model = build_model(grp["text_b"].tolist())
                 idx, sc = score(
                     model, inp, min_score=min_score, weight=weight, threshold=threshold

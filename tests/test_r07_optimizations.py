@@ -224,3 +224,72 @@ def test_exact_dup_groups_window_form(spark):
         for r in exact_dup_groups(docs, "doc_id", "text").collect()
     }
     assert got == {0: 0, 1: 1, 2: 0, 3: 0, 4: 4}
+
+
+def test_score_pair_batch_parity_randomized():
+    """score_pair_batch must be bit-identical to the scalar score_pair
+    across alphabets (incl. astral), dup/near-dup/random pairs, empty
+    strings, both dtypes, and every weight/threshold mode — including the
+    weight == 0.25 zero-denominator quirk and sub-chunking."""
+    import random
+
+    from batch_jaro_winkler_spark.kernel import score_pair_batch
+
+    rng = random.Random(20260822)
+    alphabets = [
+        "ab",
+        "aab",
+        "abcdefghijklmnopqrstuvwxyz 0123456789",
+        "".join(chr(0x4E00 + i) for i in range(30)),
+        "aéő\U0001F600\U0010FFFD",
+    ]
+    for trial in range(40):
+        alpha = rng.choice(alphabets)
+        n = rng.randint(1, 60)
+        ta, tb = [], []
+        for _ in range(n):
+            ln = rng.randint(0, 80)
+            s = "".join(rng.choice(alpha) for _ in range(ln))
+            ta.append(s)
+            roll = rng.random()
+            if roll < 0.25:
+                tb.append(s)
+            elif roll < 0.5 and ln > 3:
+                x = list(s)
+                x[rng.randrange(ln)] = rng.choice(alpha)
+                tb.append("".join(x))
+            elif roll < 0.6:
+                tb.append("")
+            else:
+                tb.append(
+                    "".join(rng.choice(alpha) for _ in range(rng.randint(0, 80)))
+                )
+        weight = rng.choice([None, 0.1, 0.25, 0.0])
+        threshold = rng.choice([None, 0.7, 0.99])
+        dtype = rng.choice([np.float32, np.float64])
+        got = score_pair_batch(ta, tb, weight=weight, threshold=threshold, dtype=dtype)
+        for i in range(n):
+            want = score_pair(ta[i], tb[i], weight=weight, threshold=threshold, dtype=dtype)
+            assert np.array(want, dtype=dtype) == got[i], (
+                f"w={weight} thr={threshold} dt={dtype} a={ta[i]!r} b={tb[i]!r}"
+            )
+
+
+def test_score_pair_batch_chunking_invariant():
+    """Sub-chunking must not change results: force the chunk boundary
+    through a batch larger than _PAIR_BATCH_CHUNK."""
+    import random
+
+    from batch_jaro_winkler_spark.kernel import score_pair_batch
+
+    old_chunk = bjw._PAIR_BATCH_CHUNK
+    rng = random.Random(7)
+    ta = ["".join(rng.choice("abcde ") for _ in range(rng.randint(0, 30))) for _ in range(503)]
+    tb = ["".join(rng.choice("abcde ") for _ in range(rng.randint(0, 30))) for _ in range(503)]
+    whole = score_pair_batch(ta, tb)
+    try:
+        bjw._PAIR_BATCH_CHUNK = 100
+        chunked = score_pair_batch(ta, tb)
+    finally:
+        bjw._PAIR_BATCH_CHUNK = old_chunk
+    assert np.array_equal(whole, chunked)
