@@ -299,14 +299,22 @@ def _jw_topk(spark, sf_dir):
 
     from batch_jaro_winkler_spark.operators.score_pairs import score_topk
 
-    # _wide on the CANDIDATE branch only: it parallelizes the JVM
-    # normalize projection and the kernel scan (one task before), and
-    # k=None ("all matches >= min_score") makes the emitted pair set
-    # partitioning-independent by construction — no per-batch top-k
-    # truncation exists, and the final rank is a deterministic (rounded
-    # score, cand_id) window here.  The probe branch stays on the raw
-    # scan so the doc_id < N predicate pushes down to parquet instead of
-    # riding through a full-corpus shuffle.
+    # _wide on the CANDIDATE branch only: it parallelizes the kernel scan
+    # (one task before), and k=None ("all matches >= min_score") makes
+    # the emitted pair set partitioning-independent by construction — no
+    # per-batch top-k truncation exists, and the final rank is a
+    # deterministic (rounded score, cand_id) window here.  The probe
+    # branch stays on the raw scan so the doc_id < N predicate pushes
+    # down to parquet instead of riding through a full-corpus shuffle.
+    #
+    # cand_transform fuses the candidate normalization into the kernel's
+    # Arrow pass (optimization round 7): the java.util.regex projection
+    # cost ~2.4 s at 50k docs even parallelized; normalize_pandas is the
+    # byte-identical twin (same pattern, proven equivalent against the
+    # DuckDB oracle by every hash-green signature-stage query).  The
+    # 20-row probe branch keeps the JVM expression.
+    from batch_jaro_winkler_spark.functions.text import normalize_pandas
+
     docs = _t(spark, sf_dir, "documents")
     probes = docs.where(F.col("doc_id") < _JW_PROBE_N).select(
         F.col("doc_id").alias("probe_id"),
@@ -314,11 +322,12 @@ def _jw_topk(spark, sf_dir):
     )
     cands = _wide(spark, docs).select(
         F.col("doc_id").alias("cand_id"),
-        _norm_prefix(F.col("text"), _JW_PREFIX).alias("cand_text"),
+        F.col("text").alias("cand_text"),
     )
     scored = score_topk(
         probes, cands, k=None, weight=0.1, threshold=0.7,
         min_score=0.5, dtype=np.float64,
+        cand_transform=lambda s: normalize_pandas(s).str.slice(0, _JW_PREFIX),
     ).select("probe_id", "cand_id", F.round("score", 4).alias("score_r"))
     w = Window.partitionBy("probe_id").orderBy(F.desc("score_r"), F.asc("cand_id"))
     return (

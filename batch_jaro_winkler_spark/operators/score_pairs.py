@@ -186,6 +186,7 @@ def score_topk(
     cand_text: str = "cand_text",
     dtype=np.float32,
     max_probes: int = 100_000,
+    cand_transform=None,
 ) -> DataFrame:
     """Per-probe top-k over a candidate corpus.
 
@@ -207,7 +208,17 @@ def score_topk(
     previously paid a full window sort of every scored row for a rank
     filter that could never drop anything; with ``k=None`` the kernel
     skips the n_best ladder (plain scan at min_score — same scores) and
-    the window exchange+sort disappears from the plan."""
+    the window exchange+sort disappears from the plan.
+
+    ``cand_transform`` — optional pandas ``Series -> Series`` applied to
+    the candidate text inside the scoring pass (optimization round 7):
+    callers whose candidate text is a *derived* expression (e.g. a
+    normalized prefix) can ship the raw column and fuse the derivation
+    into the Arrow batch, where CPython regex is ~40x faster than the
+    java.util.regex projection the JVM would run (guide §4).  The
+    transform must be byte-identical to the JVM expression it replaces —
+    callers are responsible for that equivalence (the normalize twins in
+    functions.text are the proven pair)."""
     # one job: the guard reads at most max_probes+1 rows of the same
     # collect the happy path needs anyway (no separate count over the
     # probe lineage)
@@ -230,7 +241,10 @@ def score_topk(
 
         def flush():
             pdf = pending[0] if len(pending) == 1 else pd.concat(pending)
-            model = build_model(pdf[cand_text].tolist())
+            ctext = pdf[cand_text]
+            if cand_transform is not None:
+                ctext = cand_transform(ctext)
+            model = build_model(ctext.tolist())
             out_p, out_c, out_s = [], [], []
             for pid, ptext in probe_rows:
                 idx, sc = score(
