@@ -33,7 +33,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from batch_jaro_winkler_spark.functions.text import normalize_pandas
 from batch_jaro_winkler_spark.operators.config import DedupConfig
@@ -131,18 +131,21 @@ def fingerprint_pairs(fps: DataFrame, cfg: DedupConfig) -> DataFrame:
     (boilerplate shared by thousands of docs) chain neighbors linearly
     through a grouped-map touching only those few groups."""
     cap = cfg.allpairs_cap
-    # fps rows are (fp, doc)-unique by construction, so the ONLY wide
-    # shuffle here is the fp-count aggregate (map-side partial agg, 16-byte
-    # rows).  The overwhelmingly-singleton fingerprints are dropped BEFORE
-    # any join: `dup_counts` is proportional to actual duplication, so the
-    # members-of-duplicated-fps relation is small and the join broadcasts.
-    dup_counts = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n_members"))
+    # fps rows are (fp, doc)-unique by construction, so a fingerprint's
+    # member count is a count over a window keyed the same way the rows
+    # already shuffle (optimization round 7, guide §2.4 — the same
+    # one-exchange rewrite as exact_dup_groups): the previous
+    # aggregate+join paid a second pass over the fps relation, and the
+    # map-side partial agg bought nothing because (fp, doc)-unique rows
+    # barely collapse within a partition.  Singleton fingerprints (the
+    # overwhelming majority) are dropped by the filter right after the
+    # one exchange.
+    w = Window.partitionBy("fp")
+    sized = (
+        fps.withColumn("n_members", F.count(F.lit(1)).over(w))
         .where(F.col("n_members") >= 2)
+        .localCheckpoint(eager=False)
     )
-    # AQE picks broadcast vs shuffle join by the runtime size of dup_counts
-    sized = fps.join(dup_counts, "fp").localCheckpoint(eager=False)
 
     small = sized.where(F.col("n_members") <= cap)
     left = small.select(
