@@ -719,8 +719,14 @@ def _pipeline_lsh_pairs(spark, sf_dir):
     # way before calling it
     docs = _wide(spark, _t(spark, sf_dir, "documents"))
     cfg = DedupConfig()
+    # lazy localCheckpoint on the NARROW bucket rows: candidate_pairs
+    # consumes its buckets input in TWO subtrees (counts aggregate + join
+    # side), which here would run the signatures mapInPandas twice; the
+    # checkpoint sits above the posexplode so it stores 4 small columns,
+    # not the 128-perm minhash arrays (optimization round 7)
     sig = compute_signatures(docs, cfg, "doc_id", "text")
-    return candidate_pairs(band_buckets(sig), cfg).select("a", "b", "n_bands")
+    buckets = band_buckets(sig).localCheckpoint(eager=False)
+    return candidate_pairs(buckets, cfg).select("a", "b", "n_bands")
 
 
 def _pipeline_simhash_pairs(spark, sf_dir):
@@ -730,8 +736,12 @@ def _pipeline_simhash_pairs(spark, sf_dir):
     from batch_jaro_winkler_spark.operators.simhash import simhash_pairs
 
     docs = _wide(spark, _t(spark, sf_dir, "documents"))
+    # lazy localCheckpoint on the PROJECTED relation: the pigeonhole
+    # block join reads the simhash relation on both sides — share one
+    # signatures computation, storing only the two columns the join needs
     sig = compute_signatures(docs, DedupConfig(), "doc_id", "text")
-    return simhash_pairs(sig.select("doc_id", "simhash"), max_hamming=3)
+    sh = sig.select("doc_id", "simhash").localCheckpoint(eager=False)
+    return simhash_pairs(sh, max_hamming=3)
 
 
 # --- exact-configuration twins for the pipeline pair generators ---
